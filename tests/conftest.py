@@ -1,0 +1,44 @@
+"""Test harness configuration.
+
+Forces JAX onto a virtual 8-device CPU platform (before any jax import) so the
+suite runs anywhere and sharding tests exercise a real multi-device mesh, as
+the multi-chip analog of the reference's CPU<->GPU cross-validation
+(test_interpolation.cpp:214-249).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(1234)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-slow",
+        action="store_true",
+        default=False,
+        help="run slow full-tile validation tests",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: full-tile validation (opt-in via --run-slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--run-slow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: pass --run-slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
