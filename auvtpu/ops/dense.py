@@ -1,0 +1,264 @@
+"""Dense (cell-aligned) interpolation ops: mask fill and 2x upsampling.
+
+The reference treats every workload as a scattered point batch, but its two
+real workloads are cell-aligned: Grid B queries the masked cells themselves
+(test_gebco.cpp:152-160 maps row/col straight back to lon/lat) and Grid A's
+expanded grid queries half-integer coordinates (generateExpandedGridQueryPoints,
+test_interpolation.cpp:91-109).  On TPU we exploit that: whole-grid shift/
+stencil pipelines with **zero gathers** — every step is a dynamic-slice of an
+edge-padded plane, which XLA fuses into VPU-friendly elementwise code.
+
+Key reformulation: because queries sit exactly on cells, the distance from a
+query to candidate offset (dx, dy) is the *static* scalar
+sqrt((dx+0.5)^2 + (dy+0.5)^2) (the reference's cell-center convention,
+GridH.cpp:42-44).  Sorting offsets statically by (distance^2, collection
+order) turns "k nearest valid neighbors" into "first k valid in static order"
+— a pure prefix accumulation with no sort, no top-k, no data-dependent
+control flow at all.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IDWConfig, KrigingConfig
+from ..golden.engine import ring_offsets
+from ..grid import RegularGrid
+from .scattered import krige_solve
+
+
+@lru_cache(maxsize=16)
+def sorted_offsets(max_radius: int):
+    """Window offsets sorted by (cell-center distance^2, collection order).
+
+    Returns numpy (dx (M,), dy (M,), d2 (M,)) with d2 exact in f32 (quarter
+    integers up to ~2 R^2)."""
+    offs, _ = ring_offsets(max_radius)
+    dx = offs[:, 0].astype(np.float64)
+    dy = offs[:, 1].astype(np.float64)
+    d2 = (dx + 0.5) ** 2 + (dy + 0.5) ** 2
+    order = np.lexsort((np.arange(len(offs)), d2))  # stable: ties by collection order
+    return (
+        offs[order, 0].astype(np.int32),
+        offs[order, 1].astype(np.int32),
+        d2[order].astype(np.float32),
+    )
+
+
+def _padded(grid: RegularGrid, radius: int):
+    """Edge-pad elev (values irrelevant outside) and zero-pad validity."""
+    pe = jnp.pad(grid.elev, radius, mode="edge")
+    pv = jnp.pad(grid.valid, radius, mode="constant", constant_values=0.0)
+    return pe, pv
+
+
+def _shift(p: jax.Array, dy: jax.Array, dx: jax.Array, radius: int, shape):
+    """Plane shifted by (dy, dx): out[r, c] = p[r + dy + R, c + dx + R]."""
+    return jax.lax.dynamic_slice(p, (radius + dy, radius + dx), shape)
+
+
+# ---------------------------------------------------------------------------
+# bilinear fill (cell-aligned): corner-mean semantics at every cell
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def fill_bilinear(grid: RegularGrid):
+    """Per-cell bilinear prediction at the cell's own coordinates.
+
+    At x=c, y=r the reference's bilinear collapses to: value if all four
+    corners (c,r),(c+1,r),(c,r+1),(c+1,r+1) are valid, else the mean of the
+    valid corners, else NaN (GridH.cpp:170-199 with wx=wy=0).  The +1 indices
+    clamp at the far edges, so edge cells see duplicated corners — reproduced
+    via edge-replicate padding of both planes.
+    """
+    H, W = grid.shape
+    ev = jnp.pad(grid.elev, ((0, 1), (0, 1)), mode="edge")
+    va = jnp.pad(grid.valid, ((0, 1), (0, 1)), mode="edge")
+    z = [ev[0:H, 0:W], ev[0:H, 1 : W + 1], ev[1 : H + 1, 0:W], ev[1 : H + 1, 1 : W + 1]]
+    m = [va[0:H, 0:W], va[0:H, 1 : W + 1], va[1 : H + 1, 0:W], va[1 : H + 1, 1 : W + 1]]
+    cnt = m[0] + m[1] + m[2] + m[3]
+    s = z[0] * m[0] + z[1] * m[1] + z[2] * m[2] + z[3] * m[3]
+    fb = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), jnp.nan)
+    return jnp.where(cnt >= 4, z[0], fb)
+
+
+# ---------------------------------------------------------------------------
+# first-k-valid prefix scans over statically sorted offsets
+# ---------------------------------------------------------------------------
+
+def _offset_scan(grid: RegularGrid, max_radius: int, init, step):
+    """lax.scan over the sorted offset table.
+
+    step(state, (val_plane, ok_plane, d2_scalar)) -> state
+    """
+    dx, dy, d2 = sorted_offsets(max_radius)
+    pe, pv = _padded(grid, max_radius)
+    shape = grid.shape
+
+    def body(state, xs):
+        sdx, sdy, sd2 = xs
+        v = _shift(pe, sdy, sdx, max_radius, shape)
+        ok = _shift(pv, sdy, sdx, max_radius, shape)
+        return step(state, v, ok, sd2), None
+
+    xs = (jnp.asarray(dx), jnp.asarray(dy), jnp.asarray(d2))
+    state, _ = jax.lax.scan(body, init, xs)
+    return state
+
+
+@partial(jax.jit, static_argnames=("k", "max_radius"))
+def fill_window_mean(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
+    """Mean of the k nearest valid cells per cell — the dense Grid B 'cubic':
+    at a masked center the 4x4 Catmull-Rom patch always contains the masked
+    cell itself, so the reference's cubic *always* takes the ring-fallback
+    path there (kernels.cu:305-371).  Returns the full plane (harness gathers
+    the masked cells)."""
+    H, W = grid.shape
+    dt = grid.dtype
+    zero = grid.elev * 0  # zeros_like, inheriting shard_map axis variance
+    init = (zero, zero)  # (count, sum)
+
+    def step(state, v, ok, _d2):
+        cnt, s = state
+        take = ok * (cnt < k).astype(dt)
+        return (cnt + take, s + take * v)
+
+    cnt, s = _offset_scan(grid, max_radius, init, step)
+    return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("k", "power", "max_radius"))
+def fill_idw(grid: RegularGrid, *, k: int = 8, power: float = 2.0, max_radius: int = 10):
+    """k-nearest IDW fill plane (the BASELINE.json north-star kernel)."""
+    cfg = IDWConfig(k=k, power=power, max_radius=max_radius)
+    H, W = grid.shape
+    dt = grid.dtype
+    zero = grid.elev * 0
+    init = (zero, zero, zero)
+
+    def step(state, v, ok, d2):
+        cnt, ws, vs = state
+        take = ok * (cnt < k).astype(dt)
+        w = take / (d2 ** (power / 2.0) + cfg.eps)
+        return (cnt + take, ws + w, vs + w * v)
+
+    cnt, ws, vs = _offset_scan(grid, max_radius, init, step)
+    return jnp.where(cnt > 0, vs / jnp.maximum(ws, cfg.eps), jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("max_radius",))
+def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None):
+    """Ordinary-kriging fill plane: first-4-valid selection (as above), then a
+    batched 5x5 solve per cell (weights depend on the *geometry* of the
+    selected offsets, kernels.cu:478-546).
+
+    row0/steps support spatially-sharded execution: when the plane is a row
+    band of a larger grid, pass the band's global starting row and the global
+    (lat_step, lon_step) so the variogram geometry stays correct.
+    """
+    H, W = grid.shape
+    dt = grid.dtype
+    K = 4
+    zero = grid.elev * 0
+    init = (zero, [zero] * K, [zero] * K, [zero] * K)  # cnt, vals, dxs, dys
+
+    dxs_np, dys_np, d2_np = sorted_offsets(max_radius)
+    pe, pv = _padded(grid, max_radius)
+
+    def body(state, xs):
+        sdx, sdy, _sd2 = xs
+        v = _shift(pe, sdy, sdx, max_radius, (H, W))
+        ok = _shift(pv, sdy, sdx, max_radius, (H, W))
+        cnt, vals, dxs, dys = state
+        take = ok * (cnt < K).astype(dt)
+        fdx = sdx.astype(dt)
+        fdy = sdy.astype(dt)
+        nv, ndx, ndy = [], [], []
+        for s in range(K):
+            hit = take * (cnt == s).astype(dt)
+            nv.append(vals[s] + hit * (v - vals[s]))
+            ndx.append(dxs[s] + hit * (fdx - dxs[s]))
+            ndy.append(dys[s] + hit * (fdy - dys[s]))
+        return (cnt + take, nv, ndx, ndy), None
+
+    xs = (jnp.asarray(dxs_np), jnp.asarray(dys_np), jnp.asarray(d2_np))
+    (cnt, vals, dxs, dys), _ = jax.lax.scan(body, init, xs)
+
+    # geometry in degrees, exactly as the reference: neighbor at cell center
+    # (c+dx+0.5)*lon_step, query at c*lon_step (both + min)
+    if steps is None:
+        lat_step = jnp.asarray(grid.lat_step, dt)
+        lon_step = jnp.asarray(grid.lon_step, dt)
+    else:
+        lat_step = jnp.asarray(steps[0], dt)
+        lon_step = jnp.asarray(steps[1], dt)
+    cgrid = jax.lax.broadcasted_iota(dt, (H, W), 1)
+    rgrid = jax.lax.broadcasted_iota(dt, (H, W), 0) + jnp.asarray(row0, dt)
+    qlon = grid.min_lon + cgrid * lon_step
+    qlat = grid.min_lat + rgrid * lat_step
+
+    vals4 = jnp.stack([v.reshape(-1) for v in vals], axis=1)  # (HW, 4)
+    cx = jnp.stack(
+        [(grid.min_lon + (cgrid + d + 0.5) * lon_step).reshape(-1) for d in dxs], axis=1
+    )
+    cy = jnp.stack(
+        [(grid.min_lat + (rgrid + d + 0.5) * lat_step).reshape(-1) for d in dys], axis=1
+    )
+    pred, singular = krige_solve(
+        qlon.reshape(-1), qlat.reshape(-1), vals4, cx, cy, KrigingConfig()
+    )
+    cntf = cnt.reshape(-1)
+    fbs = vals4.sum(axis=1)
+    fb = jnp.where(cntf > 0, fbs / jnp.maximum(cntf, 1.0), jnp.nan)
+    out = jnp.where(singular | (cntf < 4), fb, pred)
+    return out.reshape(H, W)
+
+
+# ---------------------------------------------------------------------------
+# Grid A: 2x upsampling (separable stencils, fully-valid grids)
+# ---------------------------------------------------------------------------
+
+def _interleave_cols(a: jax.Array, b: jax.Array):
+    """a (H, W), b (H, W-1) -> (H, 2W-1): a0 b0 a1 b1 ... a_{W-1}."""
+    H, W = a.shape
+    out = jnp.zeros((H, 2 * W - 1), a.dtype)
+    out = out.at[:, 0::2].set(a)
+    out = out.at[:, 1::2].set(b)
+    return out
+
+
+@jax.jit
+def upsample2x_bilinear(grid: RegularGrid):
+    """(H, W) -> (2H-1, 2W-1): even points copy, odd points average — exactly
+    the reference's expanded-grid bilinear pass (queries at half-integer grid
+    coords => wx, wy in {0, 0.5}; test_interpolation.cpp:283-306)."""
+    g = grid.elev
+    hmid = 0.5 * (g[:, :-1] + g[:, 1:])
+    rows = _interleave_cols(g, hmid)  # (H, 2W-1)
+    vmid = 0.5 * (rows[:-1, :] + rows[1:, :])
+    return _interleave_cols(rows.T, vmid.T).T
+
+
+def _cr_half_filter(g: jax.Array, axis: int):
+    """Catmull-Rom at t=1/2 along axis: (-1, 9, 9, -1)/16 with edge-replicated
+    ends (the reference clamps patch indices, GridH.cpp:244-247)."""
+    if axis == 0:
+        g = g.T
+    p = jnp.pad(g, ((0, 0), (1, 2)), mode="edge")
+    mid = (-p[:, 0:-3] + 9.0 * p[:, 1:-2] + 9.0 * p[:, 2:-1] - p[:, 3:]) / 16.0
+    mid = mid[:, : g.shape[1] - 1]
+    out = _interleave_cols(g, mid)
+    return out.T if axis == 0 else out
+
+
+@jax.jit
+def upsample2x_bicubic(grid: RegularGrid):
+    """(H, W) -> (2H-1, 2W-1) separable Catmull-Rom: even rows/cols are exact
+    copies (t=0 => p1), odd positions use the half-phase kernel.  Matches the
+    reference's per-point bicubic on fully-valid grids."""
+    a = _cr_half_filter(grid.elev, axis=1)
+    return _cr_half_filter(a, axis=0)

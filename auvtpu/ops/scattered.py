@@ -1,0 +1,249 @@
+"""Scattered-query interpolation ops (arbitrary lon/lat batches).
+
+TPU-native rebuild of the per-point CUDA kernels:
+- bilinear  <- bilinearInterpolationKernel (kernels.cu:173-234)
+- bicubic   <- cubicInterpolationKernel    (kernels.cu:275-372)
+- kriging   <- krigingInterpolationKernel  (kernels.cu:403-546)
+- idw       <- new (BASELINE.json configs): distance-weighted generalization
+               of the reference's top-4-average fallback.
+
+One thread per point becomes one lane per point: bounds masks instead of early
+returns, gathers instead of pointer arithmetic, ``lax.top_k`` instead of the
+ring walk, and a vectorized unpivoted Gauss-Jordan over (N,5,6) instead of the
+per-thread solver.  All functions are jit-compatible with static grid
+geometry; NaN appears only in outputs (out-of-bounds / no-candidates), never
+in grid state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import IDWConfig, KrigingConfig
+from ..grid import RegularGrid
+from .window import masked_mean, window_select
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _normalize(grid: RegularGrid, lons, lats):
+    """lon/lat -> grid coords + strict out-of-bounds mask (GridH.cpp:162-168).
+    OOB coords are zeroed so downstream gathers stay in range."""
+    lons = jnp.asarray(lons, grid.dtype)
+    lats = jnp.asarray(lats, grid.dtype)
+    oob = (
+        (lons < grid.min_lon)
+        | (lons > grid.max_lon)
+        | (lats < grid.min_lat)
+        | (lats > grid.max_lat)
+    )
+    x = (lons - grid.min_lon) / jnp.asarray(grid.lon_step, grid.dtype)
+    y = (lats - grid.min_lat) / jnp.asarray(grid.lat_step, grid.dtype)
+    x = jnp.where(oob, 0.0, x)
+    y = jnp.where(oob, 0.0, y)
+    return x, y, oob
+
+
+def _fetch(grid: RegularGrid, jj, ii):
+    """Gather (value, validity) at integer cells; indices must be in range."""
+    flat = jj * grid.num_lon + ii
+    v = jnp.take(grid.elev.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
+    m = jnp.take(grid.valid.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
+    return v, m > 0.5
+
+
+# ---------------------------------------------------------------------------
+# bilinear
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=())
+def scattered_bilinear(grid: RegularGrid, lons, lats):
+    x, y, oob = _normalize(grid, lons, lats)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, grid.num_lon - 1)
+    y1 = jnp.minimum(y0 + 1, grid.num_lat - 1)
+    wx = x - x0
+    wy = y - y0
+
+    z00, m00 = _fetch(grid, y0, x0)
+    z01, m01 = _fetch(grid, y0, x1)
+    z10, m10 = _fetch(grid, y1, x0)
+    z11, m11 = _fetch(grid, y1, x1)
+
+    z0 = (1 - wx) * z00 + wx * z01
+    z1 = (1 - wx) * z10 + wx * z11
+    z = (1 - wy) * z0 + wy * z1
+
+    cnt = (
+        m00.astype(grid.dtype)
+        + m01.astype(grid.dtype)
+        + m10.astype(grid.dtype)
+        + m11.astype(grid.dtype)
+    )
+    s = (
+        jnp.where(m00, z00, 0.0)
+        + jnp.where(m01, z01, 0.0)
+        + jnp.where(m10, z10, 0.0)
+        + jnp.where(m11, z11, 0.0)
+    )
+    fb = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), jnp.nan)
+    any_invalid = cnt < 4
+    out = jnp.where(any_invalid, fb, z)
+    return jnp.where(oob, jnp.nan, out)
+
+
+# ---------------------------------------------------------------------------
+# bicubic (Catmull-Rom)
+# ---------------------------------------------------------------------------
+
+def _catmull_rom(p0, p1, p2, p3, t):
+    return 0.5 * (
+        2 * p1
+        + (-p0 + p2) * t
+        + (2 * p0 - 5 * p1 + 4 * p2 - p3) * t * t
+        + (-p0 + 3 * p1 - 3 * p2 + p3) * t * t * t
+    )
+
+
+@partial(jax.jit, static_argnames=("fallback", "max_radius"))
+def scattered_bicubic(grid: RegularGrid, lons, lats, *, fallback: str = "auto", max_radius: int = 10):
+    """4x4 Catmull-Rom stencil with clamped edges; window fallback when any of
+    the 16 cells is invalid (kernels.cu:305-371).
+
+    fallback: 'auto' (compute window path, select per query), 'never' (skip the
+    window entirely — correct for fully-valid grids, e.g. Grid A).
+    """
+    x, y, oob = _normalize(grid, lons, lats)
+    xi = jnp.floor(x).astype(jnp.int32)
+    yi = jnp.floor(y).astype(jnp.int32)
+    tx = x - xi
+    ty = y - yi
+
+    rows = []
+    all_valid = None
+    for m in range(-1, 3):
+        jj = jnp.clip(yi + m, 0, grid.num_lat - 1)
+        ps = []
+        for n in range(-1, 3):
+            ii = jnp.clip(xi + n, 0, grid.num_lon - 1)
+            v, ok = _fetch(grid, jj, ii)
+            ps.append(v)
+            all_valid = ok if all_valid is None else (all_valid & ok)
+        rows.append(_catmull_rom(ps[0], ps[1], ps[2], ps[3], tx))
+    smooth = _catmull_rom(rows[0], rows[1], rows[2], rows[3], ty)
+
+    if fallback == "never":
+        out = smooth
+    else:
+        sel = window_select(grid, x, y, xi, yi, k=4, max_radius=max_radius)
+        fb = masked_mean(sel["val"], sel["slot_ok"])
+        out = jnp.where(all_valid, smooth, fb)
+    return jnp.where(oob, jnp.nan, out)
+
+
+# ---------------------------------------------------------------------------
+# ordinary kriging
+# ---------------------------------------------------------------------------
+
+def variogram(h, cfg=KrigingConfig().variogram):
+    """gamma(h) = nugget + sill (1 - exp(-h/range)), h in degrees
+    (GridH.cpp:371-376)."""
+    return cfg.nugget + cfg.sill * (1.0 - jnp.exp(-h / cfg.range))
+
+
+def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig()):
+    """Vectorized unpivoted Gauss-Jordan on the (N,5,6) ordinary-kriging system
+    (GridH.cpp:378-419).  Neighbors at cell-center coords (cx, cy); query at
+    its raw coordinate — the reference's half-cell offset is intentional.
+
+    Returns (pred, singular): prediction and the singular-pivot bailout mask.
+    """
+    vg = cfg.variogram
+    dx = cx[:, :, None] - cx[:, None, :]
+    dy = cy[:, :, None] - cy[:, None, :]
+    a = variogram(jnp.sqrt(dx * dx + dy * dy), vg)  # (N,4,4)
+    n = vals.shape[0]
+    dt = vals.dtype
+
+    M = jnp.zeros((n, 5, 6), dtype=dt)
+    M = M.at[:, :4, :4].set(a)
+    M = M.at[:, :4, 4].set(1.0)
+    M = M.at[:, 4, :4].set(1.0)
+    ddx = cx - qlon[:, None]
+    ddy = cy - qlat[:, None]
+    M = M.at[:, :4, 5].set(variogram(jnp.sqrt(ddx * ddx + ddy * ddy), vg))
+    M = M.at[:, 4, 5].set(1.0)
+
+    singular = jnp.zeros((n,), dtype=bool)
+    for i in range(5):
+        pivot = M[:, i, i]
+        singular = singular | (jnp.abs(pivot) < cfg.pivot_tol)
+        safe = jnp.where(singular, 1.0, pivot)
+        row = M[:, i, :] / safe[:, None]
+        M = M.at[:, i, :].set(row)
+        factor = M[:, :, i]  # (N,5)
+        upd = M - factor[:, :, None] * row[:, None, :]
+        # row i must not eliminate itself
+        keep = jnp.arange(5) == i
+        M = jnp.where(keep[None, :, None], M, upd)
+
+    pred = jnp.sum(M[:, :4, 5] * vals, axis=1)
+    return pred, singular
+
+
+@partial(jax.jit, static_argnames=("max_radius",))
+def scattered_kriging(grid: RegularGrid, lons, lats, *, max_radius: int = 10):
+    """Window top-4 + exponential variogram + batched 5x5 solve
+    (krigingInterpolationKernel, kernels.cu:403-546)."""
+    cfg = KrigingConfig()
+    x, y, oob = _normalize(grid, lons, lats)
+    # center = round half away from zero, clamped (kernels.cu:425-432)
+    ci = jnp.clip(jnp.floor(x + 0.5).astype(jnp.int32), 0, grid.num_lon - 1)
+    cj = jnp.clip(jnp.floor(y + 0.5).astype(jnp.int32), 0, grid.num_lat - 1)
+
+    sel = window_select(grid, x, y, ci, cj, k=4, max_radius=max_radius)
+    lon_step = jnp.asarray(grid.lon_step, grid.dtype)
+    lat_step = jnp.asarray(grid.lat_step, grid.dtype)
+    cx = grid.min_lon + (sel["ii"].astype(grid.dtype) + 0.5) * lon_step
+    cy = grid.min_lat + (sel["jj"].astype(grid.dtype) + 0.5) * lat_step
+
+    vals = jnp.where(sel["slot_ok"], sel["val"], 0.0)
+    pred, singular = krige_solve(
+        jnp.asarray(lons, grid.dtype), jnp.asarray(lats, grid.dtype), vals, cx, cy, cfg
+    )
+    fb = masked_mean(sel["val"], sel["slot_ok"])
+    out = jnp.where(singular | (sel["found"] < 4), fb, pred)
+    return jnp.where(oob, jnp.nan, out)
+
+
+# ---------------------------------------------------------------------------
+# IDW (k-nearest inverse-distance weighting)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("k", "power", "max_radius"))
+def scattered_idw(grid: RegularGrid, lons, lats, *, k: int = 8, power: float = 2.0, max_radius: int = 10):
+    """k-nearest masked IDW in index space; weights 1/(d^p + eps).
+
+    Not in the C++ reference (it is the BASELINE.json north-star kernel); the
+    distance convention matches the fallback search so IDW(k=4, p=0) equals the
+    reference's fallback average.
+    """
+    cfg = IDWConfig(k=k, power=power, max_radius=max_radius)
+    x, y, oob = _normalize(grid, lons, lats)
+    ci = jnp.clip(jnp.floor(x + 0.5).astype(jnp.int32), 0, grid.num_lon - 1)
+    cj = jnp.clip(jnp.floor(y + 0.5).astype(jnp.int32), 0, grid.num_lat - 1)
+    sel = window_select(grid, x, y, ci, cj, k=cfg.k, max_radius=cfg.max_radius)
+    w = jnp.where(
+        sel["slot_ok"],
+        1.0 / (jnp.power(sel["d2"], cfg.power / 2.0) + cfg.eps),
+        0.0,
+    )
+    ws = w.sum(axis=1)
+    out = jnp.where(ws > 0, (w * sel["val"]).sum(axis=1) / jnp.maximum(ws, cfg.eps), jnp.nan)
+    return jnp.where(oob, jnp.nan, out)

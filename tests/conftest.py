@@ -8,10 +8,20 @@ the multi-chip analog of the reference's CPU<->GPU cross-validation
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force (the machine presets JAX_PLATFORMS=axon -> the real TPU; tests must not
+# depend on or monopolize the chip).  jax may already be imported by a pytest
+# plugin, so set both the env vars and the live config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert not jax._src.xla_bridge.backends_are_initialized(), (
+    "JAX backend initialized before tests/conftest.py could select CPU"
+)
 
 import numpy as np
 import pytest

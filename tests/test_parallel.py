@@ -1,0 +1,81 @@
+"""Sharding invariance: multi-device results must equal single-device results.
+
+This is the multi-'node' analog of the reference's CPU<->GPU cross-validation
+(test_interpolation.cpp:214-249), run on the 8-device virtual CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from auvtpu.config import Extent
+from auvtpu.grid import RegularGrid
+from auvtpu.masking import mask_grid
+from auvtpu.ops import fill_idw, fill_kriging, fill_window_mean, scattered_idw
+from auvtpu.parallel import make_mesh, shard_queries, sharded_fill
+from auvtpu.synthetic import shelf_seamount
+
+H, W = 96, 64
+EXT = Extent(0.0, float(W - 1), 0.0, float(H - 1))
+
+
+@pytest.fixture(scope="module")
+def masked_grid():
+    elev = shelf_seamount(H, W)
+    elev, _, _ = mask_grid(elev, 0.15, seed=5)
+    return RegularGrid.from_nan_array(elev, EXT)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("method,kwargs", [
+    ("idw", dict(k=8)),
+    ("window_mean", dict(k=4)),
+    ("kriging", dict()),
+])
+def test_sharded_fill_matches_single_device(masked_grid, method, kwargs):
+    mesh = make_mesh()
+    got = np.asarray(sharded_fill(mesh, masked_grid, method, max_radius=10, **kwargs))
+    single = {
+        "idw": lambda g: fill_idw(g, k=8, max_radius=10),
+        "window_mean": lambda g: fill_window_mean(g, k=4, max_radius=10),
+        "kriging": lambda g: fill_kriging(g, max_radius=10),
+    }[method](masked_grid)
+    single = np.asarray(single)
+    both = ~np.isnan(got) & ~np.isnan(single)
+    assert (np.isnan(got) == np.isnan(single)).all()
+    np.testing.assert_allclose(got[both], single[both], rtol=2e-5, atol=2e-3)
+
+
+def test_sharded_fill_row_pad():
+    # H=91 not divisible by 8: pad rows must not change results
+    elev = shelf_seamount(91, W)
+    elev, _, _ = mask_grid(elev, 0.1, seed=6)
+    g = RegularGrid.from_nan_array(elev, Extent(0.0, float(W - 1), 0.0, 90.0))
+    mesh = make_mesh()
+    got = np.asarray(sharded_fill(mesh, g, "idw", k=8, max_radius=10))
+    single = np.asarray(fill_idw(g, k=8, max_radius=10))
+    both = ~np.isnan(got) & ~np.isnan(single)
+    assert got.shape == single.shape
+    np.testing.assert_allclose(got[both], single[both], rtol=2e-5, atol=2e-3)
+
+
+def test_query_dp_matches_unsharded(masked_grid):
+    r = np.random.RandomState(11)
+    lons = r.uniform(0, W - 1, 1003)  # deliberately not divisible by 8
+    lats = r.uniform(0, H - 1, 1003)
+    mesh = make_mesh()
+    (slon, slat), n_valid = shard_queries(mesh, lons, lats)
+    got = np.asarray(scattered_idw(masked_grid, slon, slat))[:n_valid]
+    want = np.asarray(scattered_idw(masked_grid, lons, lats))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def test_band_too_short_raises():
+    g = RegularGrid.from_nan_array(np.ones((16, W)), Extent(0, W - 1.0, 0, 15.0))
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="band height"):
+        sharded_fill(mesh, g, "idw", max_radius=10)
