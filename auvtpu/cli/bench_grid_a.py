@@ -1,0 +1,133 @@
+"""Grid A benchmark (rebuild of test_interpolation.cpp).
+
+Workflow (test_interpolation.cpp:115-322):
+1. load/generate the synthetic grid (default 4000x3200 shelf+seamount,
+   extents lon -180..-160, lat 20..30);
+2. per batch size, generate uniform random query points (seeded jax PRNG —
+   fixing the reference's unseeded std::random_device, SURVEY.md §4 item 5)
+   and time bilinear/bicubic/kriging on the device;
+3. cross-validate the first 10 points against the float64 golden engine at
+   a f32-appropriate tolerance (the reference compared CPU vs GPU at 1e-6,
+   both f64: test_interpolation.cpp:214-249);
+4. append reference-schema rows (GridType=A, error columns 'nan');
+5. optional expanded-grid pass: 2x-densified full-grid interpolation written
+   as grid CSVs (test_interpolation.cpp:283-306) via the dense upsample ops.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..config import GRID_A_BATCH_SIZES, GRID_A_EXTENT, GRID_A_SHAPE, VALIDATION_POINTS
+from ..golden import GoldenGrid
+from ..grid import RegularGrid
+from ..io import ResultsWriter, read_grid_csv, write_grid_csv
+from ..synthetic import shelf_seamount
+from ..utils import steady_state_ms, time_once_ms
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--grid-csv", default=None, help="input grid (csv/npy); default: generate")
+    p.add_argument("--num-lon", type=int, default=GRID_A_SHAPE[1])
+    p.add_argument("--num-lat", type=int, default=GRID_A_SHAPE[0])
+    p.add_argument("--batch-sizes", type=int, nargs="*", default=list(GRID_A_BATCH_SIZES))
+    p.add_argument("--results", default="results_local/TestingResults1.csv")
+    p.add_argument("--machine", default="TPU")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--expanded", action="store_true", help="run the 2x upsample pass")
+    p.add_argument("--expanded-out-prefix", default="results_local/interpolated")
+    p.add_argument("--validate", action="store_true", default=True)
+    p.add_argument("--no-validate", dest="validate", action="store_false")
+    p.add_argument("--methods", nargs="*", default=["Bilinear", "Cubic", "Kriging", "IDW"])
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import (
+        scattered_bicubic,
+        scattered_bilinear,
+        scattered_idw,
+        scattered_kriging,
+        upsample2x_bicubic,
+        upsample2x_bilinear,
+    )
+
+    if args.grid_csv:
+        elev = np.load(args.grid_csv) if args.grid_csv.endswith(".npy") else read_grid_csv(args.grid_csv)
+    else:
+        log(f"generating {args.num_lon}x{args.num_lat} shelf+seamount grid ...")
+        elev = shelf_seamount(args.num_lat, args.num_lon)
+    ext = GRID_A_EXTENT
+    log(f"grid dimensions: {elev.shape[1]} x {elev.shape[0]}")
+
+    grid = RegularGrid.dense(elev, ext)
+    golden = GoldenGrid(elev, ext.min_lon, ext.max_lon, ext.min_lat, ext.max_lat)
+    results = ResultsWriter(args.results)
+
+    # fully-valid grid: cubic can statically skip the fallback window
+    ops = {
+        "Bilinear": lambda g, lo, la: scattered_bilinear(g, lo, la),
+        "Cubic": lambda g, lo, la: scattered_bicubic(g, lo, la, fallback="never"),
+        "Kriging": lambda g, lo, la: scattered_kriging(g, lo, la),
+        "IDW": lambda g, lo, la: scattered_idw(g, lo, la),
+    }
+    goldens = {
+        "Bilinear": golden.bilinear,
+        "Cubic": golden.cubic,
+        "Kriging": golden.kriging,
+        "IDW": None,
+    }
+
+    key = jax.random.PRNGKey(args.seed)
+    overall_ok = True
+    for n in args.batch_sizes:
+        key, k1, k2 = jax.random.split(key, 3)
+        eps = 1e-6
+        lons = jax.random.uniform(k1, (n,), jnp.float32, ext.min_lon + eps, ext.max_lon - eps)
+        lats = jax.random.uniform(k2, (n,), jnp.float32, ext.min_lat + eps, ext.max_lat - eps)
+        lons_h = np.asarray(lons, np.float64)
+        lats_h = np.asarray(lats, np.float64)
+
+        for method in args.methods:
+            fn = ops[method]
+            cold_ms, out = time_once_ms(fn, grid, lons, lats)
+            warm_ms = steady_state_ms(fn, grid, lons, lats, iters=5)
+            log(
+                f"[A n={n:>9}] {method:8s} end-to-end {cold_ms:8.1f} ms   "
+                f"steady {warm_ms:8.2f} ms  ({n/warm_ms*1e3/1e6:7.2f} M pts/s)"
+            )
+            results.append(args.machine, method, "A", n, warm_ms, None, None, None, None)
+
+            if args.validate and goldens[method] is not None and n <= 1_000_000:
+                m = min(VALIDATION_POINTS, n)
+                want = goldens[method](lons_h[:m], lats_h[:m])
+                got = np.asarray(out)[:m]
+                scale = max(1.0, float(np.nanmax(np.abs(want))))
+                ok = np.allclose(got, want, atol=5e-5 * scale, equal_nan=True)
+                overall_ok &= ok
+                log(f"          validation vs golden ({m} pts): {'PASSED' if ok else 'FAILED'}")
+
+    if args.expanded:
+        for name, up in [("bilin", upsample2x_bilinear), ("cubic", upsample2x_bicubic)]:
+            ms, out = time_once_ms(up, grid)
+            out = np.asarray(out)
+            path = f"{args.expanded_out_prefix}_tpu_{name}.csv"
+            log(f"expanded 2x {name}: {out.shape} in {ms:.1f} ms -> {path}")
+            write_grid_csv(path, out)
+
+    if not overall_ok:
+        log("VALIDATION FAILED")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Grid B benchmark (rebuild of test_gebco.cpp): masked-cell recovery.
+
+Workflow (test_gebco.cpp:100-308):
+1. load a GEBCO tile (named region or CSV), flip rows, apply the seeded
+   masking pipeline (or read pre-made reduced/reference CSVs);
+2. predict the masked cells with bilinear / window-mean ('Cubic' — at masked
+   centers the reference's bicubic always takes its fallback path) / kriging /
+   IDW using the dense cell-aligned ops;
+3. score MAE/RMSE/max with the reference-biased metrics; append
+   reference-schema rows (GridType=B) and write per-point CSVs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..config import GEBCO_TILES
+from ..grid import RegularGrid
+from ..io import (
+    ResultsWriter,
+    load_gebco_flipped,
+    read_grid_csv,
+    read_reference_missing,
+    write_points_csv,
+)
+from ..masking import mask_grid
+from ..metrics import all_reference_metrics, coverage
+from ..synthetic import kerguelen_standin
+from ..utils import steady_state_ms, time_once_ms
+
+GEBCO_ROOT_DEFAULT = "/root/reference/GEBCO-Data"
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def load_region(region: str, gebco_root: str):
+    tile = GEBCO_TILES[region]
+    if tile["path"] is None:
+        log(f"{region}: tile missing upstream; generating synthetic stand-in {tile['shape']}")
+        return kerguelen_standin(tile["shape"]), tile["extent"]
+    _, _, elev = load_gebco_flipped(os.path.join(gebco_root, tile["path"]))
+    return elev, tile["extent"]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--region", default="mariana", choices=list(GEBCO_TILES))
+    p.add_argument("--gebco-root", default=GEBCO_ROOT_DEFAULT)
+    p.add_argument("--reduced-csv", default=None, help="pre-masked grid CSV (matrix)")
+    p.add_argument("--reference-csv", default=None, help="row,col,elev held-out CSV")
+    p.add_argument("--min-lon", type=float), p.add_argument("--max-lon", type=float)
+    p.add_argument("--min-lat", type=float), p.add_argument("--max-lat", type=float)
+    p.add_argument("--removal", type=float, default=0.10)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--results", default="results_local/TestingResults1.csv")
+    p.add_argument("--machine", default="TPU")
+    p.add_argument("--out-prefix", default=None, help="write per-point CSVs with this prefix")
+    p.add_argument("--methods", nargs="*", default=["Bilinear", "Cubic", "Kriging", "IDW"])
+    p.add_argument("--idw-k", type=int, default=8)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..ops import fill_bilinear, fill_idw, fill_window_mean, kriging_at_cells
+
+    if args.reduced_csv:
+        reduced = read_grid_csv(args.reduced_csv)
+        rc, truth = read_reference_missing(args.reference_csv)
+        from ..config import Extent
+
+        ext = Extent(args.min_lon, args.max_lon, args.min_lat, args.max_lat)
+        region_name = os.path.basename(args.reduced_csv)
+    else:
+        elev, ext = load_region(args.region, args.gebco_root)
+        reduced, rc, truth = mask_grid(elev, args.removal, args.seed)
+        region_name = args.region
+    n_pts = len(truth)
+    log(f"masked grid {reduced.shape[1]} x {reduced.shape[0]}, {n_pts} held-out points")
+
+    grid = RegularGrid.from_nan_array(reduced, ext)
+    rows = jnp.asarray(rc[:, 0], jnp.int32)
+    cols = jnp.asarray(rc[:, 1], jnp.int32)
+    results = ResultsWriter(args.results, with_region=True)
+
+    def at_cells(plane):
+        return jnp.take(plane.reshape(-1), rows * grid.num_lon + cols)
+
+    ops = {
+        "Bilinear": lambda: at_cells(fill_bilinear(grid)),
+        "Cubic": lambda: at_cells(fill_window_mean(grid, k=4)),
+        "Kriging": lambda: kriging_at_cells(grid, rows, cols),
+        "IDW": lambda: at_cells(fill_idw(grid, k=args.idw_k)),
+    }
+
+    for method in args.methods:
+        fn = ops[method]
+        cold_ms, out = time_once_ms(fn)
+        warm_ms = steady_state_ms(fn, iters=5)
+        pred = np.asarray(out, np.float64)
+        m = all_reference_metrics(truth, pred)
+        cov = float(coverage(pred))
+        log(
+            f"[B {region_name} r={args.removal}] {method:8s} end-to-end {cold_ms:7.1f} ms  "
+            f"steady {warm_ms:7.2f} ms  MAE={m['MAE']:.4f} RMSE={m['RMSE']:.4f} "
+            f"MAX={m['MaxError']:.3f} coverage={cov:.4f}"
+        )
+        results.append(
+            args.machine, method, "B", n_pts, warm_ms, args.removal,
+            m["MAE"], m["RMSE"], m["MaxError"], region=region_name,
+        )
+        if args.out_prefix:
+            qlon, qlat = grid.index_to_lonlat(rc[:, 0], rc[:, 1])
+            write_points_csv(
+                f"{args.out_prefix}_{args.machine.lower()}_{method.lower()}.csv",
+                qlon, qlat, pred,
+            )
+
+
+if __name__ == "__main__":
+    main()

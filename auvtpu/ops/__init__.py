@@ -26,7 +26,16 @@ from .scattered import (
     scattered_kriging,
     scattered_idw,
 )
-from .dense import fill_bilinear, fill_window_mean, fill_kriging, fill_idw, upsample2x_bilinear, upsample2x_bicubic
+from .dense import (
+    fill_bilinear,
+    fill_window_mean,
+    fill_kriging,
+    fill_idw,
+    kriging_at_cells,
+    window_topk_planes,
+    upsample2x_bilinear,
+    upsample2x_bicubic,
+)
 from .window import window_select, ring_tables
 
 __all__ = [
@@ -37,6 +46,8 @@ __all__ = [
     "fill_bilinear",
     "fill_window_mean",
     "fill_kriging",
+    "kriging_at_cells",
+    "window_topk_planes",
     "fill_idw",
     "upsample2x_bilinear",
     "upsample2x_bicubic",

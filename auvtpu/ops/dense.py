@@ -150,21 +150,16 @@ def fill_idw(grid: RegularGrid, *, k: int = 8, power: float = 2.0, max_radius: i
     return jnp.where(cnt > 0, vs / jnp.maximum(ws, cfg.eps), jnp.nan)
 
 
-@partial(jax.jit, static_argnames=("max_radius",))
-def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None):
-    """Ordinary-kriging fill plane: first-4-valid selection (as above), then a
-    batched 5x5 solve per cell (weights depend on the *geometry* of the
-    selected offsets, kernels.cu:478-546).
+def window_topk_planes(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
+    """First-k-valid selection as whole-grid planes.
 
-    row0/steps support spatially-sharded execution: when the plane is a row
-    band of a larger grid, pass the band's global starting row and the global
-    (lat_step, lon_step) so the variogram geometry stays correct.
+    Returns (cnt (H,W), vals k x (H,W), dxs k x (H,W), dys k x (H,W)): per
+    cell, the k nearest valid neighbors in v2 order with their offsets.
     """
     H, W = grid.shape
     dt = grid.dtype
-    K = 4
     zero = grid.elev * 0
-    init = (zero, [zero] * K, [zero] * K, [zero] * K)  # cnt, vals, dxs, dys
+    init = (zero, [zero] * k, [zero] * k, [zero] * k)  # cnt, vals, dxs, dys
 
     dxs_np, dys_np, d2_np = sorted_offsets(max_radius)
     pe, pv = _padded(grid, max_radius)
@@ -174,11 +169,11 @@ def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None)
         v = _shift(pe, sdy, sdx, max_radius, (H, W))
         ok = _shift(pv, sdy, sdx, max_radius, (H, W))
         cnt, vals, dxs, dys = state
-        take = ok * (cnt < K).astype(dt)
+        take = ok * (cnt < k).astype(dt)
         fdx = sdx.astype(dt)
         fdy = sdy.astype(dt)
         nv, ndx, ndy = [], [], []
-        for s in range(K):
+        for s in range(k):
             hit = take * (cnt == s).astype(dt)
             nv.append(vals[s] + hit * (v - vals[s]))
             ndx.append(dxs[s] + hit * (fdx - dxs[s]))
@@ -186,36 +181,84 @@ def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None)
         return (cnt + take, nv, ndx, ndy), None
 
     xs = (jnp.asarray(dxs_np), jnp.asarray(dys_np), jnp.asarray(d2_np))
-    (cnt, vals, dxs, dys), _ = jax.lax.scan(body, init, xs)
+    state, _ = jax.lax.scan(body, init, xs)
+    return state
 
-    # geometry in degrees, exactly as the reference: neighbor at cell center
-    # (c+dx+0.5)*lon_step, query at c*lon_step (both + min)
+
+def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vparams=None):
+    """Batched kriging solve given selected-slot data at given cells.
+
+    cols/rows: (N,) float cell coordinates (global); slot inputs are (N, K).
+    """
+    dt = grid.dtype
     if steps is None:
         lat_step = jnp.asarray(grid.lat_step, dt)
         lon_step = jnp.asarray(grid.lon_step, dt)
     else:
         lat_step = jnp.asarray(steps[0], dt)
         lon_step = jnp.asarray(steps[1], dt)
-    cgrid = jax.lax.broadcasted_iota(dt, (H, W), 1)
-    rgrid = jax.lax.broadcasted_iota(dt, (H, W), 0) + jnp.asarray(row0, dt)
-    qlon = grid.min_lon + cgrid * lon_step
-    qlat = grid.min_lat + rgrid * lat_step
+    qlon = grid.min_lon + cols * lon_step
+    qlat = grid.min_lat + rows * lat_step
+    cx = grid.min_lon + (cols[:, None] + dxs + 0.5) * lon_step
+    cy = grid.min_lat + (rows[:, None] + dys + 0.5) * lat_step
+    pred, singular = krige_solve(qlon, qlat, vals, cx, cy, KrigingConfig(), vparams=vparams)
+    fb = jnp.where(cnt > 0, vals.sum(axis=1) / jnp.maximum(cnt, 1.0), jnp.nan)
+    return jnp.where(singular | (cnt < 4), fb, pred)
 
-    vals4 = jnp.stack([v.reshape(-1) for v in vals], axis=1)  # (HW, 4)
-    cx = jnp.stack(
-        [(grid.min_lon + (cgrid + d + 0.5) * lon_step).reshape(-1) for d in dxs], axis=1
+
+@partial(jax.jit, static_argnames=("max_radius",))
+def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None, vparams=None):
+    """Ordinary-kriging fill plane: first-4-valid selection (window_topk_planes),
+    then a batched 5x5 solve per cell (weights depend on the *geometry* of the
+    selected offsets, kernels.cu:478-546).
+
+    row0/steps support spatially-sharded execution: when the plane is a row
+    band of a larger grid, pass the band's global starting row and the global
+    (lat_step, lon_step) so the variogram geometry stays correct.
+    """
+    H, W = grid.shape
+    dt = grid.dtype
+    cnt, vals, dxs, dys = window_topk_planes(grid, k=4, max_radius=max_radius)
+    cgrid = jax.lax.broadcasted_iota(dt, (H, W), 1).reshape(-1)
+    rgrid = (jax.lax.broadcasted_iota(dt, (H, W), 0) + jnp.asarray(row0, dt)).reshape(-1)
+    out = _krige_from_slots(
+        grid,
+        cnt.reshape(-1),
+        jnp.stack([v.reshape(-1) for v in vals], axis=1),
+        jnp.stack([d.reshape(-1) for d in dxs], axis=1),
+        jnp.stack([d.reshape(-1) for d in dys], axis=1),
+        cgrid,
+        rgrid,
+        steps=steps,
+        vparams=vparams,
     )
-    cy = jnp.stack(
-        [(grid.min_lat + (rgrid + d + 0.5) * lat_step).reshape(-1) for d in dys], axis=1
-    )
-    pred, singular = krige_solve(
-        qlon.reshape(-1), qlat.reshape(-1), vals4, cx, cy, KrigingConfig()
-    )
-    cntf = cnt.reshape(-1)
-    fbs = vals4.sum(axis=1)
-    fb = jnp.where(cntf > 0, fbs / jnp.maximum(cntf, 1.0), jnp.nan)
-    out = jnp.where(singular | (cntf < 4), fb, pred)
     return out.reshape(H, W)
+
+
+@partial(jax.jit, static_argnames=("max_radius",))
+def kriging_at_cells(grid: RegularGrid, rows, cols, *, max_radius: int = 10, vparams=None):
+    """Kriging predictions at an explicit cell list (the Grid B workload:
+    masked-cell indices are known host-side, so the 5x5 solves run only for
+    the N masked cells instead of all H*W)."""
+    dt = grid.dtype
+    cnt, vals, dxs, dys = window_topk_planes(grid, k=4, max_radius=max_radius)
+    rows = jnp.asarray(rows, jnp.int32)
+    cols = jnp.asarray(cols, jnp.int32)
+    flat = rows * grid.num_lon + cols
+
+    def pick(p):
+        return jnp.take(p.reshape(-1), flat)
+
+    return _krige_from_slots(
+        grid,
+        pick(cnt),
+        jnp.stack([pick(v) for v in vals], axis=1),
+        jnp.stack([pick(d) for d in dxs], axis=1),
+        jnp.stack([pick(d) for d in dys], axis=1),
+        cols.astype(dt),
+        rows.astype(dt),
+        vparams=vparams,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -151,20 +151,27 @@ def scattered_bicubic(grid: RegularGrid, lons, lats, *, fallback: str = "auto", 
 # ordinary kriging
 # ---------------------------------------------------------------------------
 
-def variogram(h, cfg=KrigingConfig().variogram):
+def variogram(h, params):
     """gamma(h) = nugget + sill (1 - exp(-h/range)), h in degrees
-    (GridH.cpp:371-376)."""
-    return cfg.nugget + cfg.sill * (1.0 - jnp.exp(-h / cfg.range))
+    (GridH.cpp:371-376).  ``params`` is (nugget, sill, range) — static floats
+    or traced scalars (fitted variograms)."""
+    nugget, sill, rng = params
+    return nugget + sill * (1.0 - jnp.exp(-h / rng))
 
 
-def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig()):
+def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), vparams=None):
     """Vectorized unpivoted Gauss-Jordan on the (N,5,6) ordinary-kriging system
     (GridH.cpp:378-419).  Neighbors at cell-center coords (cx, cy); query at
     its raw coordinate — the reference's half-cell offset is intentional.
 
+    vparams: optional traced (nugget, sill, range) overriding cfg.variogram.
     Returns (pred, singular): prediction and the singular-pivot bailout mask.
     """
-    vg = cfg.variogram
+    vg = (
+        vparams
+        if vparams is not None
+        else (cfg.variogram.nugget, cfg.variogram.sill, cfg.variogram.range)
+    )
     dx = cx[:, :, None] - cx[:, None, :]
     dy = cy[:, :, None] - cy[:, None, :]
     a = variogram(jnp.sqrt(dx * dx + dy * dy), vg)  # (N,4,4)

@@ -14,6 +14,6 @@ TPU-native equivalents here:
 """
 
 from .mesh import make_mesh, replicated, shard_queries
-from .spatial import sharded_fill
+from .spatial import sharded_fill, sharded_fit_fill
 
-__all__ = ["make_mesh", "replicated", "shard_queries", "sharded_fill"]
+__all__ = ["make_mesh", "replicated", "shard_queries", "sharded_fill", "sharded_fit_fill"]

@@ -84,6 +84,93 @@ def _sharded_fill_impl(elev, valid, mesh, method, k, power, max_radius, n_rows, 
     return fn(elev, valid)[:n_rows]
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "max_radius", "max_lag", "n_bins", "n_rows", "meta"),
+)
+def _sharded_fit_fill_impl(elev, valid, mesh, max_radius, max_lag, n_bins, n_rows, meta):
+    from ..variogram import fit_exponential, pair_sums, _bin_table
+
+    n = len(mesh.devices.flat)
+    R = max(max_radius, max_lag)
+    fwd, bwd = _neighbor_perms(n)
+    min_lon, max_lon, min_lat, max_lat, lat_step, lon_step = meta
+    blk = elev.shape[0] // n
+    _, _, _, centers = _bin_table(max_lag, n_bins)
+
+    def local(e, v):
+        idx = jax.lax.axis_index("dp")
+        top_e = jax.lax.ppermute(e[-R:], "dp", fwd)
+        top_v = jax.lax.ppermute(v[-R:], "dp", fwd)
+        bot_e = jax.lax.ppermute(e[:R], "dp", bwd)
+        bot_v = jax.lax.ppermute(v[:R], "dp", bwd)
+
+        # --- fit: distributed variogram pair sums (pairs counted once via the
+        # half-plane convention; bottom halo supplies cross-band partners)
+        band_e = jnp.concatenate([e, bot_e[:max_lag]], axis=0)
+        band_v = jnp.concatenate([v, bot_v[:max_lag]], axis=0)
+        s, c = pair_sums(band_e, band_v, blk, max_lag=max_lag, n_bins=n_bins)
+        s = jax.lax.psum(s, "dp")
+        c = jax.lax.psum(c, "dp")
+        gamma = jnp.where(c > 0, s / (2.0 * jnp.maximum(c, 1.0)), 0.0)
+        step = jnp.asarray(0.5 * (abs(lat_step) + abs(lon_step)), e.dtype)
+        lags = jnp.asarray(centers, e.dtype) * step
+        vparams = fit_exponential(lags, gamma, c)
+
+        # --- predict: kriging fill with the fitted variogram
+        big_e = jnp.concatenate([top_e, e, bot_e], axis=0)
+        big_v = jnp.concatenate([top_v, v, bot_v], axis=0)
+        g = RegularGrid(
+            elev=big_e, valid=big_v,
+            min_lon=min_lon, max_lon=max_lon, min_lat=min_lat, max_lat=max_lat,
+        )
+        row0 = idx * blk - R
+        out = dense_ops.fill_kriging(
+            g, max_radius=max_radius, row0=row0, steps=(lat_step, lon_step),
+            vparams=vparams,
+        )
+        return out[R : R + blk], vparams
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("dp", None)),
+        out_specs=(P("dp", None), P()),
+    )
+    plane, vparams = fn(elev, valid)
+    return plane[:n_rows], vparams
+
+
+def sharded_fit_fill(
+    mesh: Mesh,
+    grid: RegularGrid,
+    *,
+    max_radius: int = 10,
+    max_lag: int = 10,
+    n_bins: int = 10,
+):
+    """Full distributed 'training step': fit the exponential variogram from
+    the observed cells (pair sums psum'd over the mesh) and krige-fill the
+    grid with the fitted parameters.  Returns (plane (H, W), (nugget, sill,
+    range)).  This is the step __graft_entry__.dryrun_multichip exercises."""
+    n = len(mesh.devices.flat)
+    H, W = grid.shape
+    R = max(max_radius, max_lag)
+    pad = (-H) % n
+    elev, valid = grid.elev, grid.valid
+    if pad:
+        elev = jnp.concatenate([elev, jnp.zeros((pad, W), elev.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad, W), valid.dtype)])
+    if (H + pad) // n < R:
+        raise ValueError(f"band height {(H + pad) // n} < halo {R}")
+    sh = NamedSharding(mesh, P("dp", None))
+    elev = jax.device_put(elev, sh)
+    valid = jax.device_put(valid, sh)
+    meta = (grid.min_lon, grid.max_lon, grid.min_lat, grid.max_lat,
+            grid.lat_step, grid.lon_step)
+    return _sharded_fit_fill_impl(elev, valid, mesh, max_radius, max_lag, n_bins, H, meta)
+
+
 def sharded_fill(
     mesh: Mesh,
     grid: RegularGrid,

@@ -1,0 +1,48 @@
+"""Timing utilities.
+
+The reference times each batch end-to-end with std::chrono around the call,
+including H2D/D2H staging and the device sync (GridD.cu:107-147 inside the
+timed region; SURVEY.md §5 'Tracing').  We report both:
+
+- ``time_once_ms``: one cold-ish end-to-end call including host->device
+  transfer of the inputs and readback sync — the reference-comparable number;
+- ``steady_state_ms``: amortized device throughput over K queued dispatches
+  with a single readback — the production serving number (the dev tunnel adds
+  a fixed ~27 ms host round-trip that would otherwise dominate small batches).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+
+
+def _sync(x):
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
+    # block_until_ready is unreliable over the axon tunnel: force a readback
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        import numpy as np
+
+        np.asarray(jax.device_get(leaves[-1]))
+    return x
+
+
+def time_once_ms(fn, *args) -> tuple[float, object]:
+    t0 = time.perf_counter()
+    out = _sync(fn(*args))
+    return (time.perf_counter() - t0) * 1e3, out
+
+
+def steady_state_ms(fn, *args, iters: int = 10, warmup: int = 2) -> float:
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) * 1e3 / iters

@@ -1,0 +1,171 @@
+"""Variogram estimation and fitting — the framework's 'model fitting' step.
+
+The reference hardcodes the exponential variogram (nugget 1, sill 100,
+range 10; GridH.cpp:371-376), while its Python prototype fits a linear
+variogram via PyKrige (test_interpolation.py:61-68).  Here both become
+first-class and jittable:
+
+- :func:`empirical_variogram` computes the isotropic empirical semivariance of
+  a masked grid from shifted-plane pair sums (no gathers; Matheron estimator
+  binned by integer lag distance),
+- :func:`fit_exponential` fits (nugget, sill, range) by fixed-iteration
+  Gauss-Newton on the exponential model — compiler-friendly (static loop),
+  differentiable, and shardable (the pair sums are plane reductions that
+  ``psum`` cleanly across a row-sharded mesh).
+
+Together with a kriging fill these form the framework's train->predict step
+(see __graft_entry__.dryrun_multichip).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid import RegularGrid
+
+
+@lru_cache(maxsize=8)
+def _lag_offsets(max_lag: int):
+    """Unique half-plane offsets (dy, dx) with 0 < ||.|| <= max_lag.
+
+    Half-plane (dy > 0) | (dy == 0 & dx > 0) counts each pair once."""
+    offs = []
+    for dy in range(0, max_lag + 1):
+        for dx in range(-max_lag, max_lag + 1):
+            if dy == 0 and dx <= 0:
+                continue
+            h = np.hypot(dx, dy)
+            if 0 < h <= max_lag:
+                offs.append((dy, dx, h))
+    arr = np.asarray(offs, dtype=np.float64)
+    return (
+        arr[:, 0].astype(np.int32),
+        arr[:, 1].astype(np.int32),
+        arr[:, 2].astype(np.float32),
+    )
+
+
+def _bin_table(max_lag: int, n_bins: int):
+    dys, dxs, hs = _lag_offsets(max_lag)
+    edges = np.linspace(0.0, float(max_lag), n_bins + 1)
+    bin_of = np.clip(np.digitize(np.asarray(hs), edges) - 1, 0, n_bins - 1).astype(np.int32)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return dys, dxs, bin_of, centers
+
+
+def pair_sums(elev, valid, n_base_rows: int, *, max_lag: int = 10, n_bins: int = 10):
+    """Binned (sum of squared diffs, pair counts) with base cells in the first
+    ``n_base_rows`` rows and half-plane offsets (dy >= 0), so every pair is
+    counted exactly once even when the plane is a row band of a larger grid
+    whose bottom ``max_lag`` rows are the next band's halo.
+
+    elev/valid: (n_base_rows + max_lag, W).  Returns (s (n_bins,), c (n_bins,)).
+    """
+    dys, dxs, bin_of, _ = _bin_table(max_lag, n_bins)
+    H = n_base_rows
+    W = elev.shape[1]
+    R = max_lag
+    dt = elev.dtype
+    pe = jnp.pad(elev, ((0, 0), (R, R)))
+    pv = jnp.pad(valid, ((0, 0), (R, R)))
+    base_e = elev[:H]
+    base_v = valid[:H]
+
+    def body(carry, xs):
+        s, c = carry
+        dy, dx, b = xs
+        zv = jax.lax.dynamic_slice(pe, (dy, R + dx), (H, W))
+        mv = jax.lax.dynamic_slice(pv, (dy, R + dx), (H, W))
+        both = base_v * mv
+        d = (base_e - zv) * both
+        s = s.at[b].add(jnp.sum(d * d))
+        c = c.at[b].add(jnp.sum(both))
+        return (s, c), None
+
+    init = (base_e[0, :n_bins] * 0, base_e[0, :n_bins] * 0)
+    (s, c), _ = jax.lax.scan(
+        body, init, (jnp.asarray(dys), jnp.asarray(dxs), jnp.asarray(bin_of))
+    )
+    return s, c
+
+
+@partial(jax.jit, static_argnames=("max_lag", "n_bins"))
+def empirical_variogram(grid: RegularGrid, *, max_lag: int = 10, n_bins: int = 10):
+    """Binned Matheron semivariance of the valid cells.
+
+    Returns (lag_centers (n_bins,), gamma (n_bins,), counts (n_bins,)) with
+    lags in index space (convert with grid steps for geographic units).
+    gamma(h) = sum (z_i - z_j)^2 / (2 N_h) over pairs at |h| in the bin.
+    """
+    H, W = grid.shape
+    R = max_lag
+    elev = jnp.pad(grid.elev, ((0, R), (0, 0)))
+    valid = jnp.pad(grid.valid, ((0, R), (0, 0)))
+    s, c = pair_sums(elev, valid, H, max_lag=max_lag, n_bins=n_bins)
+    gamma = jnp.where(c > 0, s / (2.0 * jnp.maximum(c, 1.0)), 0.0)
+    _, _, _, centers = _bin_table(max_lag, n_bins)
+    return jnp.asarray(centers, grid.dtype), gamma, c
+
+
+def exponential_model(h, params):
+    nugget, sill, rng = params
+    return nugget + sill * (1.0 - jnp.exp(-h / jnp.maximum(rng, 1e-6)))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def fit_exponential(lags, gamma, counts, *, iters: int = 30, init=None):
+    """Weighted Gauss-Newton fit of the exponential variogram in log-parameter
+    space (positivity by construction, no boundary stalls: a trend-dominated
+    gamma drives range large, recovering the linear-variogram regime the
+    reference prototype used via PyKrige).
+
+    Fixed iteration count and Levenberg damping keep it jit/scan-friendly;
+    weights are the pair counts (more pairs -> more trust).  Returns
+    (nugget, sill, range) as traced scalars.
+    """
+    dt = gamma.dtype
+    w = counts / jnp.maximum(counts.sum(), 1.0)
+    if init is None:
+        # data-driven init: sill ~ max gamma, range ~ a third of max lag,
+        # nugget ~ 1% of sill (avoids scale mismatch across datasets)
+        sill0 = jnp.maximum(jnp.max(gamma), 1e-3)
+        init = jnp.stack([0.01 * sill0, sill0, jnp.max(lags) / 3.0]).astype(dt)
+    else:
+        init = jnp.asarray(init, dt)
+    theta = jnp.log(init)
+
+    def resid(theta):
+        return (exponential_model(lags, jnp.exp(theta)) - gamma) * jnp.sqrt(w)
+
+    jac = jax.jacfwd(resid)
+
+    def step(theta, _):
+        r = resid(theta)
+        J = jac(theta)
+        A = J.T @ J
+        damp = 1e-4 * jnp.maximum(jnp.trace(A) / 3.0, 1e-12)
+        g = J.T @ r
+        delta = jnp.linalg.solve(A + damp * jnp.eye(3, dtype=dt), g)
+        # trust region on the log step keeps early iterations stable
+        delta = jnp.clip(delta, -2.0, 2.0)
+        new = theta - delta
+        better = jnp.sum(resid(new) ** 2) <= jnp.sum(r**2)
+        theta = jnp.where(better, new, theta)
+        return theta, None
+
+    theta, _ = jax.lax.scan(step, theta, None, length=iters)
+    p = jnp.exp(theta)
+    return p[0], p[1], p[2]
+
+
+def fit_variogram(grid: RegularGrid, *, max_lag: int = 10, n_bins: int = 10, iters: int = 25):
+    """Convenience: empirical variogram + exponential fit, lags in index
+    space scaled to degrees by the mean grid step (isotropic approximation,
+    matching the reference's isotropic variogram use)."""
+    lags, gamma, counts = empirical_variogram(grid, max_lag=max_lag, n_bins=n_bins)
+    step = 0.5 * (abs(grid.lat_step) + abs(grid.lon_step))
+    return fit_exponential(lags * step, gamma, counts, iters=iters)

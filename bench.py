@@ -1,0 +1,107 @@
+"""Headline benchmark: masked-point ordinary-kriging fill throughput.
+
+Workload (method- and config-matched to the reference): Kerguelen-Plateau-sized
+tile (2053x2441 = 5.01M cells, the reference tile is a missing large blob so a
+synthetic stand-in of identical shape/bounds is used), 10% random mask
+(=500,688 masked points, results/TestingResults1.csv:348-385), ordinary
+kriging with the reference variogram (nugget 1, sill 100, range 10).
+
+Baseline: the reference's GPU (GeForce MX550) kriging on this exact config ran
+726-788 ms end-to-end => ~661k masked points/s (BASELINE.md 'Additional raw
+data points').
+
+Timing: steady-state device throughput — K async dispatches chained to one
+scalar readback, amortizing the dev-tunnel's ~27 ms host round-trip (the
+measurement includes all device work: window scan, neighbor selection, 5x5
+solves, fill).  Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REMOVAL = 0.10
+SHAPE = (2053, 2441)
+BASELINE_PTS_PER_S = 500_688 / 0.757  # MX550 GPU kriging, Kerguelen 0.10
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_workload():
+    from auvtpu.config import GEBCO_TILES
+    from auvtpu.masking import mask_grid
+    from auvtpu.synthetic import kerguelen_standin
+
+    cache = os.path.join(os.path.dirname(__file__) or ".", "data_local", "kerguelen_bench.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        return d["reduced"], d["rc"], d["truth"]
+    elev = kerguelen_standin(SHAPE)
+    reduced, rc, truth = mask_grid(elev, REMOVAL)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    np.savez_compressed(cache, reduced=reduced, rc=rc, truth=truth)
+    return reduced, rc, truth
+
+
+def main():
+    t_setup = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    from auvtpu.config import KERGUELEN_EXTENT
+    from auvtpu.grid import RegularGrid
+    from auvtpu.ops import kriging_at_cells
+
+    reduced, rc, truth = load_workload()
+    n_pts = len(truth)
+    log(f"workload ready in {time.time()-t_setup:.1f}s: {SHAPE} grid, {n_pts} masked pts")
+
+    grid = RegularGrid.from_nan_array(reduced, KERGUELEN_EXTENT)
+    rows = jnp.asarray(rc[:, 0], jnp.int32)
+    cols = jnp.asarray(rc[:, 1], jnp.int32)
+    truth_d = jnp.asarray(truth, jnp.float32)
+
+    @jax.jit
+    def step(grid, rows, cols):
+        pred = kriging_at_cells(grid, rows, cols)
+        ok = ~jnp.isnan(pred)
+        d = jnp.where(ok, truth_d - pred, 0.0)
+        rmse = jnp.sqrt(jnp.sum(d * d) / rows.shape[0])
+        return rmse, jnp.nansum(pred)
+
+    # warmup / compile
+    t0 = time.time()
+    rmse, chk = step(grid, rows, cols)
+    rmse = float(rmse)
+    log(f"compile+first step {time.time()-t0:.1f}s; RMSE={rmse:.4f} m  checksum={float(chk):.1f}")
+
+    # steady state: K dispatches, one readback
+    K = 20
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(K):
+        r, _ = step(grid, rows, cols)
+    acc = float(r)  # sync on the last result only; queue keeps the device busy
+    dt = (time.perf_counter() - t0) / K
+    pts_per_s = n_pts / dt
+    log(f"steady-state: {dt*1e3:.2f} ms/step -> {pts_per_s/1e6:.2f} M masked pts/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "kriging_masked_fill_points_per_sec_kerguelen_r0.10",
+                "value": round(pts_per_s, 1),
+                "unit": "points/sec",
+                "vs_baseline": round(pts_per_s / BASELINE_PTS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
