@@ -87,26 +87,60 @@ def fill_bilinear(grid: RegularGrid):
 
 
 # ---------------------------------------------------------------------------
-# first-k-valid prefix scans over statically sorted offsets
+# first-k-valid prefix accumulation over statically sorted offsets
 # ---------------------------------------------------------------------------
+#
+# The accumulation visits offsets in sorted order, so once *every* cell has
+# collected k valid neighbors the remaining offsets can't change anything.
+# We therefore process offsets in chunks inside a lax.while_loop whose
+# condition checks global saturation: at removal <= 0.5 almost every cell
+# saturates within ring 2, so typically ~3 of 50 chunks run — a 15-20x cut in
+# both HBM traffic and compute versus scanning all 441 offsets, with results
+# bit-identical to the full scan (chunks are skipped only when no cell can
+# take further candidates).
 
-def _offset_scan(grid: RegularGrid, max_radius: int, init, step):
-    """lax.scan over the sorted offset table.
+_CHUNK = 9  # offsets per while-loop iteration (ring 1 + center = 9)
 
-    step(state, (val_plane, ok_plane, d2_scalar)) -> state
+
+def _offset_loop(grid: RegularGrid, max_radius: int, init, step, saturated):
+    """Early-exit chunked loop over the sorted offset table.
+
+    step(state, val_plane, ok_plane, d2_scalar, live_scalar) -> state
+    saturated(state) -> bool scalar: True when no further offset can matter.
     """
-    dx, dy, d2 = sorted_offsets(max_radius)
+    dxs, dys, d2s = sorted_offsets(max_radius)
+    m = len(dxs)
+    n_chunks = -(-m // _CHUNK)
+    pad = n_chunks * _CHUNK - m
+    live = np.concatenate([np.ones(m, np.float32), np.zeros(pad, np.float32)])
+    dxs = np.concatenate([dxs, np.zeros(pad, np.int32)])
+    dys = np.concatenate([dys, np.zeros(pad, np.int32)])
+    d2s = np.concatenate([d2s, np.full(pad, np.inf, np.float32)])
+    tdx = jnp.asarray(dxs)
+    tdy = jnp.asarray(dys)
+    td2 = jnp.asarray(d2s)
+    tlive = jnp.asarray(live)
+
     pe, pv = _padded(grid, max_radius)
     shape = grid.shape
 
-    def body(state, xs):
-        sdx, sdy, sd2 = xs
-        v = _shift(pe, sdy, sdx, max_radius, shape)
-        ok = _shift(pv, sdy, sdx, max_radius, shape)
-        return step(state, v, ok, sd2), None
+    def cond(carry):
+        c, state = carry
+        return (c == 0) | ((c < n_chunks) & ~saturated(state))
 
-    xs = (jnp.asarray(dx), jnp.asarray(dy), jnp.asarray(d2))
-    state, _ = jax.lax.scan(body, init, xs)
+    def body(carry):
+        c, state = carry
+        base = c * _CHUNK
+        for i in range(_CHUNK):
+            j = base + i
+            sdx = tdx[j]
+            sdy = tdy[j]
+            v = _shift(pe, sdy, sdx, max_radius, shape)
+            ok = _shift(pv, sdy, sdx, max_radius, shape)
+            state = step(state, v, ok, td2[j], tlive[j])
+        return (c + 1, state)
+
+    _, state = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), init))
     return state
 
 
@@ -117,17 +151,16 @@ def fill_window_mean(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
     cell itself, so the reference's cubic *always* takes the ring-fallback
     path there (kernels.cu:305-371).  Returns the full plane (harness gathers
     the masked cells)."""
-    H, W = grid.shape
     dt = grid.dtype
     zero = grid.elev * 0  # zeros_like, inheriting shard_map axis variance
     init = (zero, zero)  # (count, sum)
 
-    def step(state, v, ok, _d2):
+    def step(state, v, ok, _d2, live):
         cnt, s = state
-        take = ok * (cnt < k).astype(dt)
+        take = ok * live * (cnt < k).astype(dt)
         return (cnt + take, s + take * v)
 
-    cnt, s = _offset_scan(grid, max_radius, init, step)
+    cnt, s = _offset_loop(grid, max_radius, init, step, lambda st: jnp.min(st[0]) >= k)
     return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), jnp.nan)
 
 
@@ -135,54 +168,115 @@ def fill_window_mean(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
 def fill_idw(grid: RegularGrid, *, k: int = 8, power: float = 2.0, max_radius: int = 10):
     """k-nearest IDW fill plane (the BASELINE.json north-star kernel)."""
     cfg = IDWConfig(k=k, power=power, max_radius=max_radius)
-    H, W = grid.shape
     dt = grid.dtype
     zero = grid.elev * 0
     init = (zero, zero, zero)
 
-    def step(state, v, ok, d2):
+    def step(state, v, ok, d2, live):
         cnt, ws, vs = state
-        take = ok * (cnt < k).astype(dt)
+        take = ok * live * (cnt < k).astype(dt)
         w = take / (d2 ** (power / 2.0) + cfg.eps)
         return (cnt + take, ws + w, vs + w * v)
 
-    cnt, ws, vs = _offset_scan(grid, max_radius, init, step)
+    cnt, ws, vs = _offset_loop(
+        grid, max_radius, init, step, lambda st: jnp.min(st[0]) >= k
+    )
     return jnp.where(cnt > 0, vs / jnp.maximum(ws, cfg.eps), jnp.nan)
 
 
-def window_topk_planes(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
-    """First-k-valid selection as whole-grid planes.
+def window_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
+    """First-k-valid selection with a slim carry: per cell, the *sorted-offset
+    index* of each selected slot (f32 planes; -1 = empty slot) plus the count.
 
-    Returns (cnt (H,W), vals k x (H,W), dxs k x (H,W), dys k x (H,W)): per
-    cell, the k nearest valid neighbors in v2 order with their offsets.
+    Carrying k index planes instead of k (value, dx, dy) triples cuts the
+    while-loop state ~2.6x; values/offsets are reconstructed afterwards by a
+    cheap table lookup + one spatially-local gather per slot.
     """
-    H, W = grid.shape
     dt = grid.dtype
     zero = grid.elev * 0
-    init = (zero, [zero] * k, [zero] * k, [zero] * k)  # cnt, vals, dxs, dys
+    init = (zero, [zero - 1.0 for _ in range(k)])  # cnt, slot offset-indices
 
-    dxs_np, dys_np, d2_np = sorted_offsets(max_radius)
+    dxs, dys, d2s, live, n_chunks = _padded_tables(max_radius)
+    tdx = jnp.asarray(dxs)
+    tdy = jnp.asarray(dys)
+    tlive = jnp.asarray(live)
     pe, pv = _padded(grid, max_radius)
+    shape = grid.shape
 
-    def body(state, xs):
-        sdx, sdy, _sd2 = xs
-        v = _shift(pe, sdy, sdx, max_radius, (H, W))
-        ok = _shift(pv, sdy, sdx, max_radius, (H, W))
-        cnt, vals, dxs, dys = state
-        take = ok * (cnt < k).astype(dt)
-        fdx = sdx.astype(dt)
-        fdy = sdy.astype(dt)
-        nv, ndx, ndy = [], [], []
-        for s in range(k):
-            hit = take * (cnt == s).astype(dt)
-            nv.append(vals[s] + hit * (v - vals[s]))
-            ndx.append(dxs[s] + hit * (fdx - dxs[s]))
-            ndy.append(dys[s] + hit * (fdy - dys[s]))
-        return (cnt + take, nv, ndx, ndy), None
+    def cond(carry):
+        c, (cnt, _) = carry
+        return (c == 0) | ((c < n_chunks) & (jnp.min(cnt) < k))
 
-    xs = (jnp.asarray(dxs_np), jnp.asarray(dys_np), jnp.asarray(d2_np))
-    state, _ = jax.lax.scan(body, init, xs)
-    return state
+    def body(carry):
+        c, (cnt, idxs) = carry
+        base = c * _CHUNK
+        for i in range(_CHUNK):
+            j = base + i
+            v_ok = _shift(pv, tdy[j], tdx[j], max_radius, shape)
+            take = v_ok * tlive[j] * (cnt < k).astype(dt)
+            jf = j.astype(dt)
+            idxs = [
+                idxs[s] + take * (cnt == s).astype(dt) * (jf - idxs[s])
+                for s in range(k)
+            ]
+            cnt = cnt + take
+        return (c + 1, (cnt, idxs))
+
+    _, (cnt, idxs) = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), init)
+    )
+    return cnt, idxs
+
+
+def _padded_tables(max_radius: int):
+    dxs, dys, d2s = sorted_offsets(max_radius)
+    m = len(dxs)
+    n_chunks = -(-m // _CHUNK)
+    pad = n_chunks * _CHUNK - m
+    live = np.concatenate([np.ones(m, np.float32), np.zeros(pad, np.float32)])
+    dxs = np.concatenate([dxs, np.zeros(pad, np.int32)])
+    dys = np.concatenate([dys, np.zeros(pad, np.int32)])
+    d2s = np.concatenate([d2s, np.full(pad, np.inf, np.float32)])
+    return dxs, dys, d2s, live, n_chunks
+
+
+def _slots_at(grid: RegularGrid, idxs, flat_cells, max_radius: int):
+    """Reconstruct (vals (N,K), dxs (N,K), dys (N,K)) for the cells in
+    ``flat_cells`` from slot offset-index planes."""
+    dxs_np, dys_np, _ = sorted_offsets(max_radius)
+    tdx = jnp.asarray(dxs_np.astype(np.float32))
+    tdy = jnp.asarray(dys_np.astype(np.float32))
+    H, W = grid.shape
+    R = max_radius
+    pe, _ = _padded(grid, R)
+    pw = W + 2 * R
+    rows = flat_cells // W
+    cols = flat_cells % W
+    out_v, out_dx, out_dy = [], [], []
+    for s in range(len(idxs)):
+        oi = jnp.take(idxs[s].reshape(-1), flat_cells)
+        oij = jnp.clip(oi, 0, None).astype(jnp.int32)
+        dx = jnp.take(tdx, oij)
+        dy = jnp.take(tdy, oij)
+        src = (rows + dy.astype(jnp.int32) + R) * pw + (cols + dx.astype(jnp.int32) + R)
+        # empty slots (oi < 0) must contribute 0 so the <4-neighbor mean
+        # fallback (sum/cnt) stays correct
+        out_v.append(jnp.where(oi >= 0, jnp.take(pe.reshape(-1), src), 0.0))
+        out_dx.append(dx.astype(grid.dtype))
+        out_dy.append(dy.astype(grid.dtype))
+    stack = lambda xs: jnp.stack(xs, axis=1)
+    return stack(out_v), stack(out_dx), stack(out_dy)
+
+
+def window_topk_planes(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
+    """First-k-valid selection as whole-grid planes (cnt, vals, dxs, dys):
+    per cell, the k nearest valid neighbors in v2 order with their offsets."""
+    H, W = grid.shape
+    cnt, idxs = window_topk_idx(grid, k=k, max_radius=max_radius)
+    flat = jnp.arange(H * W, dtype=jnp.int32)
+    vals, dxs, dys = _slots_at(grid, idxs, flat, max_radius)
+    unstack = lambda a: [a[:, s].reshape(H, W) for s in range(k)]
+    return cnt, unstack(vals), unstack(dxs), unstack(dys)
 
 
 def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vparams=None):
@@ -238,23 +332,20 @@ def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None,
 @partial(jax.jit, static_argnames=("max_radius",))
 def kriging_at_cells(grid: RegularGrid, rows, cols, *, max_radius: int = 10, vparams=None):
     """Kriging predictions at an explicit cell list (the Grid B workload:
-    masked-cell indices are known host-side, so the 5x5 solves run only for
-    the N masked cells instead of all H*W)."""
+    masked-cell indices are known host-side, so slot reconstruction and the
+    5x5 solves run only for the N masked cells instead of all H*W)."""
     dt = grid.dtype
-    cnt, vals, dxs, dys = window_topk_planes(grid, k=4, max_radius=max_radius)
+    cnt, idxs = window_topk_idx(grid, k=4, max_radius=max_radius)
     rows = jnp.asarray(rows, jnp.int32)
     cols = jnp.asarray(cols, jnp.int32)
     flat = rows * grid.num_lon + cols
-
-    def pick(p):
-        return jnp.take(p.reshape(-1), flat)
-
+    vals, dxs, dys = _slots_at(grid, idxs, flat, max_radius)
     return _krige_from_slots(
         grid,
-        pick(cnt),
-        jnp.stack([pick(v) for v in vals], axis=1),
-        jnp.stack([pick(d) for d in dxs], axis=1),
-        jnp.stack([pick(d) for d in dys], axis=1),
+        jnp.take(cnt.reshape(-1), flat),
+        vals,
+        dxs,
+        dys,
         cols.astype(dt),
         rows.astype(dt),
         vparams=vparams,

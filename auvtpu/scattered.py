@@ -1,0 +1,225 @@
+"""Scattered-data -> grid interpolation (rebuild of the Python prototype
+pipeline, code/test_interpolation.py + code/main.py).
+
+The prototype samples ~1% of a GEBCO tile and re-predicts the full grid with
+scipy ``griddata`` (Delaunay linear/cubic) and PyKrige moving-window ordinary
+kriging (n_closest_points=50, backend='loop').  Spatial trees and Delaunay
+triangulations don't map to the MXU; the TPU-native reformulation is tiled
+brute-force distance matrices (one matmul per tile pair) with streaming top-k
+merge, then per-target models over the k neighbors:
+
+- idw_knn      — inverse-distance weighting (griddata-'linear'-class accuracy)
+- linear_knn   — weighted local plane fit (closer analog of Delaunay linear)
+- kriging_knn  — moving-window ordinary kriging with a fitted variogram
+                 (PyKrige equivalent; batched (k+1)x(k+1) solves)
+- fit_variogram_scattered — empirical semivariance from sampled point pairs +
+                 the shared exponential fitter
+
+All distances are Euclidean in (lon, lat) degrees, like the reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .variogram import fit_exponential
+from .ops.scattered import variogram as variogram_fn
+
+
+def _pairwise_d2(a, b):
+    """Squared distances (|A|^2 + |B|^2 - 2 A.B) — the MXU does the A.B term.
+    a: (n, 2), b: (m, 2) -> (n, m)."""
+    aa = jnp.sum(a * a, axis=1, keepdims=True)
+    bb = jnp.sum(b * b, axis=1, keepdims=True)
+    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(aa + bb.T - 2.0 * ab, 0.0)
+
+
+@partial(jax.jit, static_argnames=("k", "pt_chunk"))
+def knn_search(targets_xy, points_xy, *, k: int, pt_chunk: int = 8192):
+    """Streaming k-nearest-neighbor search: (N, k) squared distances + indices.
+
+    Point set is processed in chunks; a running top-k is merged per chunk so
+    memory is O(N * (k + chunk)) regardless of point count.
+    """
+    n = targets_xy.shape[0]
+    m = points_xy.shape[0]
+    pad = (-m) % pt_chunk
+    pts = jnp.pad(points_xy, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    n_chunks = (m + pad) // pt_chunk
+
+    def body(carry, c):
+        best_d2, best_idx = carry
+        blk = jax.lax.dynamic_slice(pts, (c * pt_chunk, 0), (pt_chunk, 2))
+        d2 = _pairwise_d2(targets_xy, blk)  # (n, chunk); padded pts -> inf/nan
+        d2 = jnp.where(jnp.isfinite(d2), d2, jnp.inf)
+        idx = c * pt_chunk + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        cat_d2 = jnp.concatenate([best_d2, d2], axis=1)
+        cat_idx = jnp.concatenate([best_idx, idx], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d2, k)
+        return (-neg, jnp.take_along_axis(cat_idx, sel, axis=1)), None
+
+    init = (
+        jnp.full((n, k), jnp.inf, jnp.float32),
+        jnp.full((n, k), -1, jnp.int32),
+    )
+    (d2, idx), _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+    return d2, idx
+
+
+@partial(jax.jit, static_argnames=("k", "power"))
+def _idw_from_knn(d2, vals_k, *, k: int, power: float = 2.0, eps: float = 1e-12):
+    w = 1.0 / (d2 ** (power / 2.0) + eps)
+    return jnp.sum(w * vals_k, axis=1) / jnp.sum(w, axis=1)
+
+
+def idw_knn(points_xy, points_val, targets_xy, *, k: int = 50, power: float = 2.0):
+    d2, idx = knn_search(targets_xy, points_xy, k=k)
+    vals_k = jnp.take(points_val, jnp.clip(idx, 0, None))
+    return _idw_from_knn(d2, vals_k, k=k, power=power)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _plane_fit(d2, xy_k, vals_k, targets_xy, *, k: int):
+    """Weighted least-squares plane z = a x + b y + c over the k neighbors,
+    evaluated at the target (Gaussian distance weights scaled to the kth
+    neighbor)."""
+    scale = jnp.maximum(d2[:, -1:], 1e-12)
+    w = jnp.exp(-d2 / scale)  # (n, k)
+    rel = xy_k - targets_xy[:, None, :]  # center coords at the target
+    X = jnp.concatenate([rel, jnp.ones_like(rel[..., :1])], axis=-1)  # (n,k,3)
+    Xw = X * w[..., None]
+    A = jnp.einsum("nki,nkj->nij", Xw, X)
+    b = jnp.einsum("nki,nk->ni", Xw, vals_k)
+    A = A + 1e-8 * jnp.eye(3, dtype=A.dtype)
+    coef = jnp.linalg.solve(A, b[..., None])[..., 0]
+    return coef[:, 2]  # plane value at rel=(0,0)
+
+
+def linear_knn(points_xy, points_val, targets_xy, *, k: int = 12):
+    d2, idx = knn_search(targets_xy, points_xy, k=k)
+    idxc = jnp.clip(idx, 0, None)
+    vals_k = jnp.take(points_val, idxc)
+    xy_k = jnp.take(points_xy, idxc, axis=0)
+    return _plane_fit(d2, xy_k, vals_k, targets_xy, k=k)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _ok_from_knn(d2, xy_k, vals_k, targets_xy, vparams, *, k: int):
+    """Moving-window ordinary kriging: per target, solve the (k+1)x(k+1)
+    system [[Gamma, 1], [1, 0]] [w, mu] = [gamma(target), 1]."""
+    n = d2.shape[0]
+    dt = d2.dtype
+    dx = xy_k[:, :, None, 0] - xy_k[:, None, :, 0]
+    dy = xy_k[:, :, None, 1] - xy_k[:, None, :, 1]
+    G = variogram_fn(jnp.sqrt(dx * dx + dy * dy), vparams)  # (n,k,k)
+    A = jnp.zeros((n, k + 1, k + 1), dt)
+    A = A.at[:, :k, :k].set(G)
+    A = A.at[:, :k, k].set(1.0)
+    A = A.at[:, k, :k].set(1.0)
+    rhs = jnp.concatenate(
+        [variogram_fn(jnp.sqrt(d2), vparams), jnp.ones((n, 1), dt)], axis=1
+    )
+    # tiny diagonal jitter on the gamma block for f32 stability
+    A = A.at[:, :k, :k].add(1e-4 * jnp.eye(k, dtype=dt))
+    w = jnp.linalg.solve(A, rhs[..., None])[..., 0]  # (n, k+1)
+    return jnp.sum(w[:, :k] * vals_k, axis=1)
+
+
+def kriging_knn(points_xy, points_val, targets_xy, *, k: int = 50, vparams=None):
+    if vparams is None:
+        vparams = fit_variogram_scattered(points_xy, points_val)
+    d2, idx = knn_search(targets_xy, points_xy, k=k)
+    idxc = jnp.clip(idx, 0, None)
+    vals_k = jnp.take(points_val, idxc)
+    xy_k = jnp.take(points_xy, idxc, axis=0)
+    return _ok_from_knn(d2, xy_k, vals_k, targets_xy, vparams, k=k)
+
+
+@partial(jax.jit, static_argnames=("n_bins", "max_pairs_sqrt"))
+def _scattered_semivariance(points_xy, points_val, *, n_bins: int = 12, max_pairs_sqrt: int = 4096):
+    m = min(points_xy.shape[0], max_pairs_sqrt)
+    xy = points_xy[:m]
+    v = points_val[:m]
+    d2 = _pairwise_d2(xy, xy)
+    d = jnp.sqrt(d2)
+    dv = (v[:, None] - v[None, :]) ** 2
+    dmax = jnp.max(jnp.where(jnp.isfinite(d), d, 0.0))
+    edges = jnp.linspace(0.0, dmax + 1e-9, n_bins + 1)
+    bins = jnp.clip(jnp.searchsorted(edges, d) - 1, 0, n_bins - 1)
+    off_diag = ~jnp.eye(m, dtype=bool)
+    s = jnp.zeros((n_bins,), d.dtype).at[bins].add(jnp.where(off_diag, dv, 0.0))
+    c = jnp.zeros((n_bins,), d.dtype).at[bins].add(off_diag.astype(d.dtype))
+    gamma = jnp.where(c > 0, s / (2.0 * jnp.maximum(c, 1.0)), 0.0)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return centers, gamma, c
+
+
+def fit_variogram_scattered(points_xy, points_val, *, n_bins: int = 12):
+    """Empirical semivariance over (subsampled) point pairs + exponential fit
+    — the PyKrige 'fit a variogram model to the data' step
+    (test_interpolation.py:61-68) on the MXU."""
+    lags, gamma, c = _scattered_semivariance(points_xy, points_val, n_bins=n_bins)
+    return fit_exponential(lags, gamma, c)
+
+
+# ---------------------------------------------------------------------------
+# pipeline: sample -> predict full grid (main.py / test_interpolation.py flow)
+# ---------------------------------------------------------------------------
+
+def sample_and_reconstruct(
+    elev: np.ndarray,
+    extent,
+    *,
+    subset_fraction: float = 0.01,
+    method: str = "kriging",
+    k: int = 50,
+    seed: int = 42,
+    target_chunk: int = 1 << 16,
+):
+    """Sample ``subset_fraction`` of the grid cells (seeded, like
+    interpolate()'s df.sample(random_state=42), test_interpolation.py:49) and
+    re-predict every grid cell from the samples.  Returns (pred (H, W),
+    sample_mask (H, W) bool)."""
+    H, W = elev.shape
+    rng = np.random.RandomState(seed)
+    n = int(H * W * subset_fraction)
+    flat = rng.choice(H * W, size=n, replace=False)
+    rr, cc = np.divmod(flat, W)
+    lat_step, lon_step = extent.steps(H, W)
+    pts_xy = np.stack(
+        [extent.min_lon + cc * lon_step, extent.min_lat + rr * lat_step], axis=1
+    ).astype(np.float32)
+    pts_val = elev[rr, cc].astype(np.float32)
+
+    jj, ii = np.mgrid[0:H, 0:W]
+    tgt_xy = np.stack(
+        [extent.min_lon + ii.ravel() * lon_step, extent.min_lat + jj.ravel() * lat_step],
+        axis=1,
+    ).astype(np.float32)
+
+    fn = {
+        "idw": lambda t: idw_knn(pts_xy, pts_val, t, k=k),
+        "linear": lambda t: linear_knn(pts_xy, pts_val, t, k=min(k, 16)),
+        "kriging": None,
+    }[method]
+    if method == "kriging":
+        vparams = fit_variogram_scattered(jnp.asarray(pts_xy), jnp.asarray(pts_val))
+        fn = lambda t: kriging_knn(pts_xy, pts_val, t, k=k, vparams=vparams)
+
+    out = np.empty(H * W, np.float32)
+    for s in range(0, H * W, target_chunk):
+        e = min(s + target_chunk, H * W)
+        chunk = tgt_xy[s:e]
+        if e - s < target_chunk:  # pad to keep one compiled shape
+            chunk = np.concatenate(
+                [chunk, np.broadcast_to(chunk[:1], (target_chunk - (e - s), 2))]
+            )
+        out[s:e] = np.asarray(fn(jnp.asarray(chunk)))[: e - s]
+    mask = np.zeros((H, W), bool)
+    mask[rr, cc] = True
+    return out.reshape(H, W), mask
