@@ -32,6 +32,7 @@ from .dense import (
     fill_kriging,
     fill_idw,
     kriging_at_cells,
+    window_topk_idx,
     window_topk_planes,
     upsample2x_bilinear,
     upsample2x_bicubic,
@@ -47,6 +48,7 @@ __all__ = [
     "fill_window_mean",
     "fill_kriging",
     "kriging_at_cells",
+    "window_topk_idx",
     "window_topk_planes",
     "fill_idw",
     "upsample2x_bilinear",

@@ -172,35 +172,48 @@ def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), 
         if vparams is not None
         else (cfg.variogram.nugget, cfg.variogram.sill, cfg.variogram.range)
     )
-    dx = cx[:, :, None] - cx[:, None, :]
-    dy = cy[:, :, None] - cy[:, None, :]
-    a = variogram(jnp.sqrt(dx * dx + dy * dy), vg)  # (N,4,4)
     n = vals.shape[0]
-    dt = vals.dtype
 
-    M = jnp.zeros((n, 5, 6), dtype=dt)
-    M = M.at[:, :4, :4].set(a)
-    M = M.at[:, :4, 4].set(1.0)
-    M = M.at[:, 4, :4].set(1.0)
-    ddx = cx - qlon[:, None]
-    ddy = cy - qlat[:, None]
-    M = M.at[:, :4, 5].set(variogram(jnp.sqrt(ddx * ddx + ddy * ddy), vg))
-    M = M.at[:, 4, 5].set(1.0)
+    # Scalar-register formulation: the 5x6 system lives in 30 (N,) vectors so
+    # the whole build + unpivoted Gauss-Jordan fuses into one elementwise XLA
+    # kernel (a (N,5,6) tensor version materializes the matrix ~12x in HBM).
+    M = [[None] * 6 for _ in range(5)]
+    for a in range(4):
+        for b in range(4):
+            if b < a:
+                M[a][b] = M[b][a]  # symmetric distances
+                continue
+            dx = cx[:, a] - cx[:, b]
+            dy = cy[:, a] - cy[:, b]
+            M[a][b] = variogram(jnp.sqrt(dx * dx + dy * dy), vg)
+        M[a][4] = jnp.ones((n,), vals.dtype)
+        ddx = cx[:, a] - qlon
+        ddy = cy[:, a] - qlat
+        M[a][5] = variogram(jnp.sqrt(ddx * ddx + ddy * ddy), vg)
+    M[4] = [jnp.ones((n,), vals.dtype)] * 4 + [jnp.zeros((n,), vals.dtype), jnp.ones((n,), vals.dtype)]
+    # symmetric aliasing above shares arrays; make row 4 entries independent
+    # is unnecessary (they are fresh arrays already)
 
     singular = jnp.zeros((n,), dtype=bool)
     for i in range(5):
-        pivot = M[:, i, i]
+        pivot = M[i][i]
         singular = singular | (jnp.abs(pivot) < cfg.pivot_tol)
         safe = jnp.where(singular, 1.0, pivot)
-        row = M[:, i, :] / safe[:, None]
-        M = M.at[:, i, :].set(row)
-        factor = M[:, :, i]  # (N,5)
-        upd = M - factor[:, :, None] * row[:, None, :]
-        # row i must not eliminate itself
-        keep = jnp.arange(5) == i
-        M = jnp.where(keep[None, :, None], M, upd)
+        for q in range(i, 6):
+            M[i][q] = M[i][q] / safe
+        for r in range(5):
+            if r == i:
+                continue
+            f = M[r][i]
+            for q in range(i, 6):
+                M[r][q] = M[r][q] - f * M[i][q]
 
-    pred = jnp.sum(M[:, :4, 5] * vals, axis=1)
+    pred = (
+        M[0][5] * vals[:, 0]
+        + M[1][5] * vals[:, 1]
+        + M[2][5] * vals[:, 2]
+        + M[3][5] * vals[:, 3]
+    )
     return pred, singular
 
 

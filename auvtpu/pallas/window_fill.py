@@ -1,0 +1,316 @@
+"""Tiled windowed-fill Pallas kernels.
+
+Strategy (one program per output tile):
+1. DMA the (TH+2R, TW+2R) halo-extended elevation/validity slab from HBM into
+   VMEM scratch (the host wrapper pre-pads the planes so every slab read is
+   in-bounds and padding has validity 0).
+2. Loop over the statically distance-sorted offset table (scalar-prefetched
+   into SMEM) in chunks; each offset contributes the slab window shifted by
+   (dy, dx) — a VMEM dynamic slice, no HBM traffic.
+3. First-k-valid accumulation in VMEM state planes, with a per-chunk
+   global-saturation early exit (jnp.min(cnt) >= k) via lax.while_loop.
+4. Write the finished tile.
+
+Semantics are identical to auvtpu.ops.dense (same offset order, same
+first-k-valid rule, same early-exit condition evaluated per tile — the exit
+fires only when no cell in the tile can accept candidates, so results match
+the full scan bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IDWConfig
+from ..grid import RegularGrid
+from ..ops.dense import _padded_tables, sorted_offsets, _CHUNK
+
+
+def pallas_available() -> bool:
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+    except Exception:
+        return False
+    return True
+
+
+def _pad_for_tiles(grid: RegularGrid, tile: tuple[int, int], radius: int):
+    """Pad planes to tile multiples plus the halo ring; validity 0 outside.
+
+    The right/bottom margins are extended so every tile can DMA a full
+    aligned (SH, SW) slab (Mosaic requires DMA slice shapes aligned to the
+    (8, 128) tiling)."""
+    th, tw = tile
+    H, W = grid.shape
+    Hp = -(-H // th) * th
+    Wp = -(-W // tw) * tw
+    sh, sw = _slab_shape(radius, th, tw)
+    pad_b = (Hp - th + sh) - H - radius
+    pad_r = (Wp - tw + sw) - W - radius
+    pe = jnp.pad(grid.elev, ((radius, pad_b), (radius, pad_r)), mode="edge")
+    pv = jnp.pad(
+        grid.valid, ((radius, pad_b), (radius, pad_r)),
+        mode="constant", constant_values=0.0,
+    )
+    return pe, pv, Hp, Wp
+
+
+def _slab_shape(radius: int, th: int, tw: int):
+    """Scratch slab shape: the (th+2R, tw+2R) halo window rounded up to the
+    f32 (8, 128) vector tiling — tpu.dynamic_rotate rejects unaligned
+    shapes."""
+    sh = -(-(th + 2 * radius) // 8) * 8
+    sw = -(-(tw + 2 * radius) // 128) * 128
+    return sh, sw
+
+
+def _window_reader(slab_ref, radius, th, tw):
+    """Return window(dy, dx) -> (th, tw) view of the slab shifted by the
+    (traced) offsets.  Mosaic requires sublane-dim dynamic slices to be
+    8-aligned, so instead of slicing at (dy, dx) we roll the slab by (-dy,
+    -dx) (dynamic rotates on aligned shapes are supported) and take the
+    static [0:th, 0:tw] corner; the circular wraparound only reaches rows >=
+    th + 2R - dy >= th, which the static slice never reads."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sh, sw = _slab_shape(radius, th, tw)
+
+    def window(dy, dx):
+        x = slab_ref[:]
+        x = pltpu.roll(x, sh - dy, 0)
+        x = pltpu.roll(x, sw - dx, 1)
+        return x[0:th, 0:tw]
+
+    return window
+
+
+def _make_fill_kernel(kind: str, k: int, power: float, radius: int, th: int, tw: int, n_chunks: int, eps: float):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(dy_ref, dx_ref, w_ref, elev_hbm, valid_hbm, out_ref, slab_e, slab_v, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        sh, sw = _slab_shape(radius, th, tw)
+        copy_e = pltpu.make_async_copy(
+            elev_hbm.at[pl.ds(i * th, sh), pl.ds(j * tw, sw)],
+            slab_e,
+            sem.at[0],
+        )
+        copy_v = pltpu.make_async_copy(
+            valid_hbm.at[pl.ds(i * th, sh), pl.ds(j * tw, sw)],
+            slab_v,
+            sem.at[1],
+        )
+        copy_e.start()
+        copy_v.start()
+        copy_e.wait()
+        copy_v.wait()
+
+        zero = jnp.zeros((th, tw), jnp.float32)
+        if kind == "idw":
+            init = (zero, zero, zero)  # cnt, wsum, vsum
+        else:
+            init = (zero, zero)  # cnt, sum
+
+        def cond(carry):
+            c, st = carry
+            return (c == 0) | ((c < n_chunks) & (jnp.min(st[0]) < k))
+
+        win_e = _window_reader(slab_e, radius, th, tw)
+        win_v = _window_reader(slab_v, radius, th, tw)
+
+        def body(carry):
+            c, st = carry
+            base = c * _CHUNK
+            for t in range(_CHUNK):
+                idx = base + t
+                dy = dy_ref[idx]
+                dx = dx_ref[idx]
+                wj = w_ref[idx]  # host-precomputed 1/(d2^(p/2)+eps); 0 = dead
+                live = wj > 0.0
+                v = win_e(dy, dx)
+                ok = win_v(dy, dx)
+                if kind == "idw":
+                    cnt, ws, vs = st
+                    take = jnp.where(live, ok * (cnt < k), 0.0)
+                    w = take * wj
+                    st = (cnt + take, ws + w, vs + w * v)
+                else:
+                    cnt, s = st
+                    take = jnp.where(live, ok * (cnt < k), 0.0)
+                    st = (cnt + take, s + take * v)
+            return (c + 1, st)
+
+        _, st = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), init))
+        if kind == "idw":
+            cnt, ws, vs = st
+            out_ref[:] = jnp.where(cnt > 0, vs / jnp.maximum(ws, eps), jnp.nan)
+        else:
+            cnt, s = st
+            out_ref[:] = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), jnp.nan)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kind", "k", "power", "max_radius", "tile"),
+)
+def _pallas_fill(grid: RegularGrid, *, kind: str, k: int, power: float, max_radius: int, tile=(256, 256)):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = max_radius
+    th, tw = tile
+    H, W = grid.shape
+    pe, pv, Hp, Wp = _pad_for_tiles(grid, tile, R)
+    dxs, dys, d2s, live, n_chunks = _padded_tables(R)
+    # dy/dx become slab-relative starts in [0, 2R]; distance weights are a
+    # pure function of the static offset table, so they are precomputed here
+    # (Mosaic has no powf) with 0 marking dead (padding) entries
+    eps = IDWConfig().eps
+    dy_tab = jnp.asarray(dys + R, jnp.int32)
+    dx_tab = jnp.asarray(dxs + R, jnp.int32)
+    if kind == "idw":
+        w_np = 1.0 / (d2s ** (power / 2.0) + eps)
+    else:
+        w_np = np.ones_like(d2s)
+    w_tab = jnp.asarray(np.where(live > 0, w_np, 0.0), jnp.float32)
+
+    kernel = _make_fill_kernel(kind, k, power, R, th, tw, n_chunks, eps)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(Hp // th, Wp // tw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(_slab_shape(R, th, tw), jnp.float32),
+            pltpu.VMEM(_slab_shape(R, th, tw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+        grid_spec=grid_spec,
+    )(dy_tab, dx_tab, w_tab, pe.astype(jnp.float32), pv.astype(jnp.float32))
+    return out[:H, :W]
+
+
+def pallas_fill_idw(grid: RegularGrid, *, k: int = 8, power: float = 2.0, max_radius: int = 10, tile=(256, 256)):
+    """Pallas twin of ops.dense.fill_idw."""
+    return _pallas_fill(grid, kind="idw", k=k, power=power, max_radius=max_radius, tile=tile)
+
+
+def pallas_fill_mean(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(256, 256)):
+    """Pallas twin of ops.dense.fill_window_mean."""
+    return _pallas_fill(grid, kind="mean", k=k, power=0.0, max_radius=max_radius, tile=tile)
+
+
+# ---------------------------------------------------------------------------
+# top-k slot-index kernel (kriging front end)
+# ---------------------------------------------------------------------------
+
+def _make_topk_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(dy_ref, dx_ref, live_ref, valid_hbm, cnt_ref, idx_ref, slab_v, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        sh, sw = _slab_shape(radius, th, tw)
+        copy_v = pltpu.make_async_copy(
+            valid_hbm.at[pl.ds(i * th, sh), pl.ds(j * tw, sw)],
+            slab_v,
+            sem,
+        )
+        copy_v.start()
+        copy_v.wait()
+
+        zero = jnp.zeros((th, tw), jnp.float32)
+        init = (zero, tuple(zero - 1.0 for _ in range(k)))
+
+        def cond(carry):
+            c, st = carry
+            return (c == 0) | ((c < n_chunks) & (jnp.min(st[0]) < k))
+
+        win_v = _window_reader(slab_v, radius, th, tw)
+
+        def body(carry):
+            c, (cnt, idxs) = carry
+            base = c * _CHUNK
+            for t in range(_CHUNK):
+                oi = base + t
+                dy = dy_ref[oi]
+                dx = dx_ref[oi]
+                live = live_ref[oi] > 0.0
+                ok = win_v(dy, dx)
+                take = jnp.where(live, ok * (cnt < k), 0.0)
+                jf = oi.astype(jnp.float32)
+                idxs = tuple(
+                    idxs[s] + take * jnp.where(cnt == s, 1.0, 0.0) * (jf - idxs[s])
+                    for s in range(k)
+                )
+                cnt = cnt + take
+            return (c + 1, (cnt, idxs))
+
+        _, (cnt, idxs) = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), init))
+        cnt_ref[:] = cnt
+        for s in range(k):
+            idx_ref[s] = idxs[s]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "max_radius", "tile"))
+def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(256, 256)):
+    """Pallas twin of ops.dense.window_topk_idx: (cnt, [idx planes])."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = max_radius
+    th, tw = tile
+    H, W = grid.shape
+    _, pv, Hp, Wp = _pad_for_tiles(grid, tile, R)
+    dxs, dys, d2s, live, n_chunks = _padded_tables(R)
+    dy_tab = jnp.asarray(dys + R, jnp.int32)
+    dx_tab = jnp.asarray(dxs + R, jnp.int32)
+    live_tab = jnp.asarray(live, jnp.float32)
+
+    kernel = _make_topk_kernel(k, R, th, tw, n_chunks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(Hp // th, Wp // tw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k, th, tw), lambda i, j, *_: (0, i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(_slab_shape(R, th, tw), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    cnt, idxs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((k, Hp, Wp), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+    )(dy_tab, dx_tab, live_tab, pv.astype(jnp.float32))
+    return cnt[:H, :W], [idxs[s, :H, :W] for s in range(k)]

@@ -1,0 +1,106 @@
+"""CLI smoke tests: in-process main(argv) runs on tiny inputs (CPU)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from auvtpu.io import write_grid_csv
+from auvtpu.synthetic import shelf_seamount
+
+
+def test_gen_grid_cli(tmp_path):
+    from auvtpu.cli.gen_grid import main
+
+    out = str(tmp_path / "g.csv")
+    main(["--num-lon", "12", "--num-lat", "9", "--out", out])
+    g = pd.read_csv(out, header=None).to_numpy()
+    assert g.shape == (9, 12)
+
+
+def test_bench_grid_a_cli(tmp_path):
+    from auvtpu.cli.bench_grid_a import main
+
+    grid = str(tmp_path / "grid.npy")
+    np.save(grid, shelf_seamount(40, 50))
+    results = str(tmp_path / "res.csv")
+    main([
+        "--grid-csv", grid, "--batch-sizes", "500", "--results", results,
+        "--methods", "Bilinear", "Cubic", "--expanded",
+        "--expanded-out-prefix", str(tmp_path / "up"),
+    ])
+    df = pd.read_csv(results)
+    assert len(df) == 2
+    assert set(df["GridType"]) == {"A"}
+    up = pd.read_csv(str(tmp_path / "up_tpu_cubic.csv"), header=None).to_numpy()
+    assert up.shape == (79, 99)
+
+
+def test_bench_grid_b_cli_with_csv_inputs(tmp_path):
+    from auvtpu.cli.bench_grid_b import main
+    from auvtpu.io import write_reference_missing
+    from auvtpu.masking import mask_grid
+
+    elev = shelf_seamount(40, 50)
+    reduced, rc, vals = mask_grid(elev, 0.1, seed=4)
+    rcsv = str(tmp_path / "reduced.csv")
+    mcsv = str(tmp_path / "missing.csv")
+    write_grid_csv(rcsv, reduced)
+    write_reference_missing(mcsv, rc, vals)
+    results = str(tmp_path / "res.csv")
+    main([
+        "--reduced-csv", rcsv, "--reference-csv", mcsv,
+        "--min-lon", "0", "--max-lon", "49", "--min-lat", "0", "--max-lat", "39",
+        "--results", results, "--out-prefix", str(tmp_path / "pts"),
+    ])
+    df = pd.read_csv(results)
+    assert len(df) == 4  # Bilinear, Cubic, Kriging, IDW
+    assert (df["BatchSize"] == len(vals)).all()
+    assert df["RMSE"].notna().all()
+    pts = pd.read_csv(str(tmp_path / "pts_tpu_kriging.csv"))
+    assert list(pts.columns) == ["lon", "lat", "interpolated_value"]
+    assert len(pts) == len(vals)
+
+
+def test_analyze_cli(tmp_path):
+    from auvtpu.cli.analyze import main
+    from auvtpu.io import ResultsWriter
+
+    results = str(tmp_path / "res.csv")
+    w = ResultsWriter(results, with_region=True)
+    for mach in ("CPU", "TPU"):
+        w.append(mach, "Bilinear", "A", 1000, 1.5, None, None, None, None)
+        w.append(mach, "Kriging", "B", 500, 2.5, 0.1, 10.0, 12.0, 99.0, region="mariana")
+    main(["--results", results, "--out-dir", str(tmp_path)])
+    a = pd.read_csv(str(tmp_path / "grid_A_runtimes_averaged.csv"))
+    assert "CPU Bilinear" in a.columns and "TPU Bilinear" in a.columns
+    b = pd.read_csv(str(tmp_path / "mariana_runtimes_errors.csv"))
+    assert len(b) == 1
+
+
+def test_subset_cli(tmp_path):
+    path = "/root/reference/GEBCO-Data/Mid-Atlantic Ridge/GEBCO_05_May_2025_861eace686e1/gebco_2024_n1.0071_s-0.5035_w-30.9967_e-29.4993.nc"
+    if not os.path.exists(path):
+        pytest.skip("tile unavailable")
+    from auvtpu.cli.subset import main
+
+    main(["--nc", path, "--removal", "0.01", "--out-dir", str(tmp_path)])
+    red = pd.read_csv(str(tmp_path / "reduced_data.csv"), header=None).to_numpy()
+    ref = np.loadtxt(str(tmp_path / "reference_missing.csv"), delimiter=",")
+    assert np.isnan(red).sum() == len(ref)
+    rr, cc = ref[:, 0].astype(int), ref[:, 1].astype(int)
+    assert np.isnan(red[rr, cc]).all()
+
+
+def test_plots_cli(tmp_path):
+    if not os.path.exists("/root/reference/GEBCO-Data"):
+        pytest.skip("tiles unavailable")
+    from auvtpu.cli.plots import main
+
+    main([
+        "--region", "mid_atlantic", "--removal", "0.05", "--method", "IDW",
+        "--out-dir", str(tmp_path),
+    ])
+    pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
+    assert len(pngs) == 4

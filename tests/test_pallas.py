@@ -1,0 +1,66 @@
+"""Pallas kernel parity vs the XLA dense ops (interpret mode on CPU).
+
+Real-TPU timing/validation runs in bench.py / scripts; here the kernels run
+under the Pallas interpreter so the suite stays chip-free.
+"""
+
+import numpy as np
+import pytest
+
+from auvtpu.config import Extent
+from auvtpu.grid import RegularGrid
+from auvtpu.masking import mask_grid
+from auvtpu.ops import fill_idw, fill_window_mean, window_topk_idx
+from auvtpu.pallas import pallas_available
+from auvtpu.synthetic import shelf_seamount
+
+if not pallas_available():  # pragma: no cover
+    pytest.skip("pallas unavailable", allow_module_level=True)
+
+from jax.experimental.pallas import tpu as pltpu
+
+H, W = 96, 80
+
+
+@pytest.fixture(scope="module")
+def grid():
+    elev = shelf_seamount(H, W)
+    elev, _, _ = mask_grid(elev, 0.2, seed=9)
+    return RegularGrid.from_nan_array(elev, Extent(0.0, float(W - 1), 0.0, float(H - 1)))
+
+
+def _interp():
+    return pltpu.force_tpu_interpret_mode()
+
+
+def test_pallas_idw_matches_xla(grid):
+    from auvtpu.pallas import pallas_fill_idw
+
+    with _interp():
+        got = np.asarray(pallas_fill_idw(grid, k=8, max_radius=5, tile=(32, 32)))
+    want = np.asarray(fill_idw(grid, k=8, max_radius=5))
+    assert (np.isnan(got) == np.isnan(want)).all()
+    both = ~np.isnan(want)
+    np.testing.assert_allclose(got[both], want[both], rtol=1e-5, atol=1e-3)
+
+
+def test_pallas_mean_matches_xla(grid):
+    from auvtpu.pallas import pallas_fill_mean
+
+    with _interp():
+        got = np.asarray(pallas_fill_mean(grid, k=4, max_radius=5, tile=(32, 32)))
+    want = np.asarray(fill_window_mean(grid, k=4, max_radius=5))
+    assert (np.isnan(got) == np.isnan(want)).all()
+    both = ~np.isnan(want)
+    np.testing.assert_allclose(got[both], want[both], rtol=1e-5, atol=1e-3)
+
+
+def test_pallas_topk_idx_matches_xla(grid):
+    from auvtpu.pallas import pallas_topk_idx
+
+    with _interp():
+        cnt_p, idx_p = pallas_topk_idx(grid, k=4, max_radius=5, tile=(32, 32))
+    cnt_x, idx_x = window_topk_idx(grid, k=4, max_radius=5)
+    np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_x))
+    for s in range(4):
+        np.testing.assert_array_equal(np.asarray(idx_p[s]), np.asarray(idx_x[s]))
