@@ -18,6 +18,21 @@ bicubic / ordinary-kriging interpolation for AUV deep-sea mapping):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent compilation cache: the dense window programs take minutes to
+# compile on the dev tunnel; caching makes every process after the first
+# start in milliseconds.  Opt out with JAX_COMPILATION_CACHE_DIR="".
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    try:
+        import jax as _jax
+
+        _cache = _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+        _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from .config import EngineConfig, Extent, FallbackConfig, IDWConfig, KrigingConfig, VariogramConfig
 from .grid import RegularGrid
 

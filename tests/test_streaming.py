@@ -1,0 +1,84 @@
+"""Streaming swath interpolation tests."""
+
+import numpy as np
+import pytest
+
+from auvtpu.config import Extent
+from auvtpu.streaming import StreamingInterpolator
+from auvtpu.synthetic import shelf_seamount
+
+
+@pytest.fixture()
+def si():
+    ext = Extent(0.0, 511.0, 0.0, 511.0)
+    return StreamingInterpolator(
+        (512, 512), ext, swath_cap=256, window=(64, 64), method="idw", k=4, max_radius=5
+    )
+
+
+def test_ingest_and_snapshot(si):
+    truth = shelf_seamount(512, 512)
+    r = np.random.RandomState(0)
+    rows = r.randint(0, 512, 1000)
+    cols = r.randint(0, 512, 1000)
+    si.ingest(rows, cols, truth[rows, cols])
+    snap = si.snapshot()
+    obs = ~np.isnan(snap)
+    assert obs.sum() == len(np.unique(rows * 512 + cols))
+    np.testing.assert_allclose(snap[rows, cols], truth[rows, cols], rtol=1e-6)
+
+
+def test_ingest_ragged_chunks(si):
+    # 300 points with cap 256 -> two chunks incl. a padded one
+    truth = shelf_seamount(512, 512)
+    r = np.random.RandomState(1)
+    rows = r.randint(0, 512, 300)
+    cols = r.randint(0, 512, 300)
+    n = si.ingest(rows, cols, truth[rows, cols])
+    assert n == 300
+    snap = si.snapshot()
+    # padding lanes must not invent observations at cell (0,0)
+    if (rows * 512 + cols == 0).sum() == 0:
+        assert np.isnan(snap[0, 0])
+
+
+def test_window_fill_recovers_surface(si):
+    truth = shelf_seamount(512, 512)
+    r = np.random.RandomState(2)
+    # dense swath coverage around the "vehicle" at (256, 256)
+    rows = r.randint(192, 320, 8000)
+    cols = r.randint(192, 320, 8000)
+    si.ingest(rows, cols, truth[rows, cols])
+    tile, (r0, c0) = si.window_fill(256, 256)
+    tile = np.asarray(tile)
+    assert tile.shape == (64, 64)
+    want = truth[r0 : r0 + 64, c0 : c0 + 64]
+    finite = np.isfinite(tile)
+    assert finite.mean() > 0.95  # nearly fully interpolated
+    rmse = np.sqrt(np.nanmean((np.where(finite, tile, np.nan) - want) ** 2))
+    span = truth.max() - truth.min()
+    assert rmse / span < 0.05
+
+
+def test_incremental_updates_change_result(si):
+    truth = shelf_seamount(512, 512)
+    r = np.random.RandomState(3)
+    rows = r.randint(224, 288, 500)
+    cols = r.randint(224, 288, 500)
+    si.ingest(rows, cols, truth[rows, cols])
+    t1, _ = si.window_fill(256, 256)
+    rows2 = r.randint(224, 288, 500)
+    cols2 = r.randint(224, 288, 500)
+    si.ingest(rows2, cols2, truth[rows2, cols2])
+    t2, _ = si.window_fill(256, 256)
+    assert not np.array_equal(np.asarray(t1), np.asarray(t2))
+    # observed cells pass through exactly
+    snap = si.snapshot()
+    np.testing.assert_allclose(snap[rows2, cols2], truth[rows2, cols2], rtol=1e-6)
+
+
+def test_window_clamps_at_edges(si):
+    tile, (r0, c0) = si.window_fill(0, 0)
+    assert (r0, c0) == (0, 0)
+    tile, (r0, c0) = si.window_fill(511, 511)
+    assert (r0, c0) == (512 - 64, 512 - 64)
