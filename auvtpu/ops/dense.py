@@ -270,13 +270,51 @@ def _slots_at(grid: RegularGrid, idxs, flat_cells, max_radius: int):
 
 def window_topk_planes(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
     """First-k-valid selection as whole-grid planes (cnt, vals, dxs, dys):
-    per cell, the k nearest valid neighbors in v2 order with their offsets."""
-    H, W = grid.shape
-    cnt, idxs = window_topk_idx(grid, k=k, max_radius=max_radius)
-    flat = jnp.arange(H * W, dtype=jnp.int32)
-    vals, dxs, dys = _slots_at(grid, idxs, flat, max_radius)
-    unstack = lambda a: [a[:, s].reshape(H, W) for s in range(k)]
-    return cnt, unstack(vals), unstack(dxs), unstack(dys)
+    per cell, the k nearest valid neighbors in v2 order with their offsets.
+
+    Values and offsets are carried as planes through the early-exit loop —
+    a fatter carry than window_topk_idx, but gather-free: XLA's 1-D random
+    take costs ~30 ns/element on TPU, which dwarfs the extra plane traffic.
+    """
+    dt = grid.dtype
+    zero = grid.elev * 0
+    init = (zero, [zero] * k, [zero] * k, [zero] * k)
+
+    dxs_t, dys_t, d2s, live, n_chunks = _padded_tables(max_radius)
+    tdx = jnp.asarray(dxs_t)
+    tdy = jnp.asarray(dys_t)
+    tlive = jnp.asarray(live)
+    pe, pv = _padded(grid, max_radius)
+    shape = grid.shape
+
+    def cond(carry):
+        c, (cnt, *_rest) = carry
+        return (c == 0) | ((c < n_chunks) & (jnp.min(cnt) < k))
+
+    def body(carry):
+        c, (cnt, vals, dxs, dys) = carry
+        base = c * _CHUNK
+        for i in range(_CHUNK):
+            jj = base + i
+            sdx = tdx[jj]
+            sdy = tdy[jj]
+            v = _shift(pe, sdy, sdx, max_radius, shape)
+            ok = _shift(pv, sdy, sdx, max_radius, shape)
+            take = ok * tlive[jj] * (cnt < k).astype(dt)
+            fdx = sdx.astype(dt)
+            fdy = sdy.astype(dt)
+            nv, ndx, ndy = [], [], []
+            for s in range(k):
+                hit = take * (cnt == s).astype(dt)
+                nv.append(vals[s] + hit * (v - vals[s]))
+                ndx.append(dxs[s] + hit * (fdx - dxs[s]))
+                ndy.append(dys[s] + hit * (fdy - dys[s]))
+            cnt = cnt + take
+            vals, dxs, dys = nv, ndx, ndy
+        return (c + 1, (cnt, vals, dxs, dys))
+
+    _, state = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), init))
+    return state
 
 
 def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vparams=None):
@@ -331,25 +369,16 @@ def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None,
 
 @partial(jax.jit, static_argnames=("max_radius",))
 def kriging_at_cells(grid: RegularGrid, rows, cols, *, max_radius: int = 10, vparams=None):
-    """Kriging predictions at an explicit cell list (the Grid B workload:
-    masked-cell indices are known host-side, so slot reconstruction and the
-    5x5 solves run only for the N masked cells instead of all H*W)."""
-    dt = grid.dtype
-    cnt, idxs = window_topk_idx(grid, k=4, max_radius=max_radius)
+    """Kriging predictions at an explicit cell list (Grid B workload).
+
+    Computes the dense fill plane and takes the requested cells: the fused
+    whole-plane solve is cheaper than per-cell slot gathers (XLA's random
+    take costs ~30 ns/element — 5 gathers at the cell list dominated the
+    entire pipeline before this formulation)."""
+    plane = fill_kriging(grid, max_radius=max_radius, vparams=vparams)
     rows = jnp.asarray(rows, jnp.int32)
     cols = jnp.asarray(cols, jnp.int32)
-    flat = rows * grid.num_lon + cols
-    vals, dxs, dys = _slots_at(grid, idxs, flat, max_radius)
-    return _krige_from_slots(
-        grid,
-        jnp.take(cnt.reshape(-1), flat),
-        vals,
-        dxs,
-        dys,
-        cols.astype(dt),
-        rows.astype(dt),
-        vparams=vparams,
-    )
+    return jnp.take(plane.reshape(-1), rows * grid.num_lon + cols)
 
 
 # ---------------------------------------------------------------------------
