@@ -47,6 +47,11 @@ def main(argv=None):
     p.add_argument("--validate", action="store_true", default=True)
     p.add_argument("--no-validate", dest="validate", action="store_false")
     p.add_argument("--methods", nargs="*", default=["Bilinear", "Cubic", "Kriging", "IDW"])
+    p.add_argument(
+        "--window-radius", type=int, default=2,
+        help="candidate window radius for kriging/IDW; 2 is exact on fully-"
+        "valid grids (the k<=8 nearest cells always lie within Chebyshev 2)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -74,11 +79,12 @@ def main(argv=None):
     results = ResultsWriter(args.results)
 
     # fully-valid grid: cubic can statically skip the fallback window
+    R = args.window_radius
     ops = {
         "Bilinear": lambda g, lo, la: scattered_bilinear(g, lo, la),
         "Cubic": lambda g, lo, la: scattered_bicubic(g, lo, la, fallback="never"),
-        "Kriging": lambda g, lo, la: scattered_kriging(g, lo, la),
-        "IDW": lambda g, lo, la: scattered_idw(g, lo, la),
+        "Kriging": lambda g, lo, la: scattered_kriging(g, lo, la, max_radius=R),
+        "IDW": lambda g, lo, la: scattered_idw(g, lo, la, max_radius=R),
     }
     goldens = {
         "Bilinear": golden.bilinear,

@@ -38,6 +38,8 @@ from .dense import (
     upsample2x_bicubic,
 )
 from .window import window_select, ring_tables
+from .batch import apply_chunked
+from .gathers import fast_take
 
 __all__ = [
     "scattered_bilinear",
@@ -55,4 +57,6 @@ __all__ = [
     "upsample2x_bicubic",
     "window_select",
     "ring_tables",
+    "apply_chunked",
+    "fast_take",
 ]

@@ -50,11 +50,14 @@ def _normalize(grid: RegularGrid, lons, lats):
 
 
 def _fetch(grid: RegularGrid, jj, ii):
-    """Gather (value, validity) at integer cells; indices must be in range."""
-    flat = jj * grid.num_lon + ii
-    v = jnp.take(grid.elev.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
-    m = jnp.take(grid.valid.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
-    return v, m > 0.5
+    """Gather (value, validity) at integer cells; indices must be in range.
+
+    One NaN-encoded fetch instead of two plane gathers; see ops.gathers."""
+    from .gathers import fetch_masked, nan_plane
+
+    nanp = nan_plane(grid)  # CSE'd across fetches within one jit
+    v, ok = fetch_masked(nanp, jj.reshape(-1), ii.reshape(-1), grid.num_lon)
+    return v.reshape(jj.shape), ok.reshape(jj.shape)
 
 
 # ---------------------------------------------------------------------------

@@ -64,10 +64,13 @@ def window_select(
     inb = (gi >= 0) & (gi < W) & (gj >= 0) & (gj < H)
     gic = jnp.clip(gi, 0, W - 1)
     gjc = jnp.clip(gj, 0, H - 1)
-    flat = gjc * W + gic
-    val = jnp.take(grid.elev.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
-    vm = jnp.take(grid.valid.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
-    ok = inb & (vm > 0.5)
+    from .gathers import fetch_masked, nan_plane
+
+    val, vok = fetch_masked(
+        nan_plane(grid), gjc.reshape(-1), gic.reshape(-1), W
+    )
+    val = val.reshape(gi.shape)
+    ok = inb & vok.reshape(gi.shape)
 
     di = (gi.astype(x.dtype) + 0.5) - x[:, None]
     dj = (gj.astype(y.dtype) + 0.5) - y[:, None]
