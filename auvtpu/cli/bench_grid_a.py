@@ -76,21 +76,36 @@ def main(argv=None):
 
     grid = RegularGrid.dense(elev, ext)
     golden = GoldenGrid(elev, ext.min_lon, ext.max_lon, ext.min_lat, ext.max_lat)
+    # kriging/IDW use the v2 selection semantics (true k-nearest; see
+    # docs/SEMANTICS.md) -> validate against the v2 float64 oracle
+    from ..golden.v2 import GoldenV2
+
+    golden_v2 = GoldenV2(elev, ext.min_lon, ext.max_lon, ext.min_lat, ext.max_lat)
     results = ResultsWriter(args.results)
 
     # fully-valid grid: cubic can statically skip the fallback window
+    from ..ops import apply_chunked
+
     R = args.window_radius
+    # windowed ops materialize (N, (2R+1)^2) candidates: chunk big batches so
+    # the fast-gather path stays in memory (dispatches queue asynchronously,
+    # so chunking costs no extra host round-trips)
+    win_chunk = max((1 << 22) // ((2 * R + 1) ** 2), 1 << 16)
+
+    def chunked(fn, **kw):
+        return lambda g, lo, la: apply_chunked(fn, g, lo, la, chunk=win_chunk, **kw)
+
     ops = {
         "Bilinear": lambda g, lo, la: scattered_bilinear(g, lo, la),
         "Cubic": lambda g, lo, la: scattered_bicubic(g, lo, la, fallback="never"),
-        "Kriging": lambda g, lo, la: scattered_kriging(g, lo, la, max_radius=R),
-        "IDW": lambda g, lo, la: scattered_idw(g, lo, la, max_radius=R),
+        "Kriging": chunked(scattered_kriging, max_radius=R),
+        "IDW": chunked(scattered_idw, max_radius=R),
     }
     goldens = {
         "Bilinear": golden.bilinear,
         "Cubic": golden.cubic,
-        "Kriging": golden.kriging,
-        "IDW": None,
+        "Kriging": golden_v2.kriging,
+        "IDW": lambda lo, la: golden_v2.idw(lo, la, k=8),
     }
 
     key = jax.random.PRNGKey(args.seed)

@@ -8,6 +8,7 @@ compiled regardless of batch size.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -15,24 +16,27 @@ import jax.numpy as jnp
 def apply_chunked(fn, grid, lons, lats, *, chunk: int = 1 << 20, **kw):
     """Run ``fn(grid, lons_chunk, lats_chunk, **kw)`` over fixed-size chunks.
 
-    Returns a host numpy array of length N.  Chunks are padded with the first
-    query (harmless work) to keep one compiled shape.
+    Returns a device array of length N (chunks stay on device and dispatch
+    asynchronously; callers sync once).  Chunks are padded with the first
+    query (harmless duplicate work) so only one program shape compiles.
     """
-    lons = np.asarray(lons)
-    lats = np.asarray(lats)
+    lons = jnp.asarray(lons)
+    lats = jnp.asarray(lats)
     n = lons.shape[0]
     if n <= chunk:
-        pad = chunk - n if n < chunk and n > chunk // 2 else 0
-        if n <= chunk // 2 or pad == 0:
-            # small batches: just run at native size (one-off compile)
-            return np.asarray(fn(grid, jnp.asarray(lons), jnp.asarray(lats), **kw))
-    out = np.empty(n, np.float32)
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        lo = lons[s:e]
-        la = lats[s:e]
-        if e - s < chunk:
-            lo = np.concatenate([lo, np.broadcast_to(lo[:1], (chunk - (e - s),))])
-            la = np.concatenate([la, np.broadcast_to(la[:1], (chunk - (e - s),))])
-        out[s:e] = np.asarray(fn(grid, jnp.asarray(lo), jnp.asarray(la), **kw))[: e - s]
-    return out
+        return fn(grid, lons, lats, **kw)
+    pad = (-n) % chunk
+    if pad:
+        lons = jnp.concatenate([lons, jnp.broadcast_to(lons[:1], (pad,))])
+        lats = jnp.concatenate([lats, jnp.broadcast_to(lats[:1], (pad,))])
+    outs = []
+    for s in range(0, n + pad, chunk):
+        outs.append(
+            fn(
+                grid,
+                jax.lax.dynamic_slice_in_dim(lons, s, chunk),
+                jax.lax.dynamic_slice_in_dim(lats, s, chunk),
+                **kw,
+            )
+        )
+    return jnp.concatenate(outs)[:n]

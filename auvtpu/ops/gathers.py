@@ -17,12 +17,24 @@ from ..grid import RegularGrid
 
 _LANES = 128
 
+# the row-block fetch materializes a (N, 128) buffer; above this many indices
+# fall back to plain element takes (slower, but O(N) memory)
+_FAST_TAKE_LIMIT = 8 << 20
+
 
 def fast_take(plane: jax.Array, flat_idx: jax.Array) -> jax.Array:
-    """plane: (H, W) or flat; flat_idx int32 (N,) -> (N,) values."""
+    """plane: (H, W) or flat; flat_idx int32 (N,) or (N, M) -> values.
+
+    Row-block fetch + fused one-hot lane reduction (~2x faster than XLA's
+    element gather) while the (N, 128) intermediate fits; element takes
+    otherwise."""
+    shape = flat_idx.shape
+    flat_idx = flat_idx.reshape(-1)
+    n = int(flat_idx.shape[0])
+    if n > _FAST_TAKE_LIMIT:
+        return jnp.take(plane.reshape(-1), flat_idx).reshape(shape)
     flat = plane.reshape(-1)
-    n = flat.shape[0]
-    pad = (-n) % _LANES
+    pad = (-flat.shape[0]) % _LANES
     if pad:
         flat = jnp.pad(flat, (0, pad))
     pr = flat.reshape(-1, _LANES)
@@ -32,7 +44,7 @@ def fast_take(plane: jax.Array, flat_idx: jax.Array) -> jax.Array:
     oh = (
         lanes[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     ).astype(plane.dtype)
-    return jnp.sum(rd * oh, axis=1)
+    return jnp.sum(rd * oh, axis=1).reshape(shape)
 
 
 def nan_plane(grid: RegularGrid) -> jax.Array:
