@@ -47,6 +47,9 @@ def main(argv=None):
     p.add_argument("--validate", action="store_true", default=True)
     p.add_argument("--no-validate", dest="validate", action="store_false")
     p.add_argument("--methods", nargs="*", default=["Bilinear", "Cubic", "Kriging", "IDW"])
+    p.add_argument("--packed", action="store_true", default=True,
+                   help="use stencil packs (one gather per query)")
+    p.add_argument("--no-packed", dest="packed", action="store_false")
     p.add_argument(
         "--window-radius", type=int, default=2,
         help="candidate window radius for kriging/IDW; 2 is exact on fully-"
@@ -87,20 +90,45 @@ def main(argv=None):
     from ..ops import apply_chunked
 
     R = args.window_radius
-    # windowed ops materialize (N, (2R+1)^2) candidates: chunk big batches so
-    # the fast-gather path stays in memory (dispatches queue asynchronously,
-    # so chunking costs no extra host round-trips)
-    win_chunk = max((1 << 22) // ((2 * R + 1) ** 2), 1 << 16)
+    if args.packed:
+        # stencil packs: every query fetches its whole neighborhood in ONE
+        # row-block gather (ops/packs.py); pack build amortizes like the
+        # reference's ctor-time grid upload
+        from ..ops.packs import (
+            StencilPack,
+            packed_bicubic,
+            packed_bilinear,
+            packed_idw,
+            packed_kriging,
+        )
 
-    def chunked(fn, **kw):
-        return lambda g, lo, la: apply_chunked(fn, g, lo, la, chunk=win_chunk, **kw)
+        log("building stencil packs (bilinear 4x, bicubic 16x, window 32x grid bytes)")
+        sp = StencilPack(grid, window_radius=min(R, 2))
+        ops = {
+            "Bilinear": lambda g, lo, la: packed_bilinear(sp.bilinear, g, lo, la),
+            "Cubic": lambda g, lo, la: packed_bicubic(sp.bicubic, g, lo, la),
+            "Kriging": lambda g, lo, la: packed_kriging(
+                sp.window, g, lo, la, window_radius=sp.window_radius
+            ),
+            "IDW": lambda g, lo, la: packed_idw(
+                sp.window, g, lo, la, window_radius=sp.window_radius
+            ),
+        }
+    else:
+        # windowed ops materialize (N, (2R+1)^2) candidates: chunk big
+        # batches so the fast-gather path stays in memory (dispatches queue
+        # asynchronously, so chunking costs no extra host round-trips)
+        win_chunk = max((1 << 22) // ((2 * R + 1) ** 2), 1 << 16)
 
-    ops = {
-        "Bilinear": lambda g, lo, la: scattered_bilinear(g, lo, la),
-        "Cubic": lambda g, lo, la: scattered_bicubic(g, lo, la, fallback="never"),
-        "Kriging": chunked(scattered_kriging, max_radius=R),
-        "IDW": chunked(scattered_idw, max_radius=R),
-    }
+        def chunked(fn, **kw):
+            return lambda g, lo, la: apply_chunked(fn, g, lo, la, chunk=win_chunk, **kw)
+
+        ops = {
+            "Bilinear": lambda g, lo, la: scattered_bilinear(g, lo, la),
+            "Cubic": lambda g, lo, la: scattered_bicubic(g, lo, la, fallback="never"),
+            "Kriging": chunked(scattered_kriging, max_radius=R),
+            "IDW": chunked(scattered_idw, max_radius=R),
+        }
     goldens = {
         "Bilinear": golden.bilinear,
         "Cubic": golden.cubic,

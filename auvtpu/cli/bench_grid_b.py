@@ -62,6 +62,12 @@ def main(argv=None):
     p.add_argument("--out-prefix", default=None, help="write per-point CSVs with this prefix")
     p.add_argument("--methods", nargs="*", default=["Bilinear", "Cubic", "Kriging", "IDW"])
     p.add_argument("--idw-k", type=int, default=8)
+    p.add_argument(
+        "--convention", choices=["reference", "centered"], default="reference",
+        help="neighbor-distance convention: 'reference' reproduces the "
+        "study's asymmetric +0.5 metric; 'centered' is the corrected "
+        "symmetric metric (3-4x lower error; docs/SEMANTICS.md)",
+    )
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -90,11 +96,13 @@ def main(argv=None):
     def at_cells(plane):
         return jnp.take(plane.reshape(-1), rows * grid.num_lon + cols)
 
+    conv = args.convention
+    machine = args.machine if conv == "reference" else f"{args.machine}-centered"
     ops = {
         "Bilinear": lambda: at_cells(fill_bilinear(grid)),
-        "Cubic": lambda: at_cells(fill_window_mean(grid, k=4)),
-        "Kriging": lambda: kriging_at_cells(grid, rows, cols),
-        "IDW": lambda: at_cells(fill_idw(grid, k=args.idw_k)),
+        "Cubic": lambda: at_cells(fill_window_mean(grid, k=4, convention=conv)),
+        "Kriging": lambda: kriging_at_cells(grid, rows, cols, convention=conv),
+        "IDW": lambda: at_cells(fill_idw(grid, k=args.idw_k, convention=conv)),
     }
 
     for method in args.methods:
@@ -110,13 +118,13 @@ def main(argv=None):
             f"MAX={m['MaxError']:.3f} coverage={cov:.4f}"
         )
         results.append(
-            args.machine, method, "B", n_pts, warm_ms, args.removal,
+            machine, method, "B", n_pts, warm_ms, args.removal,
             m["MAE"], m["RMSE"], m["MaxError"], region=region_name,
         )
         if args.out_prefix:
             qlon, qlat = grid.index_to_lonlat(rc[:, 0], rc[:, 1])
             write_points_csv(
-                f"{args.out_prefix}_{args.machine.lower()}_{method.lower()}.csv",
+                f"{args.out_prefix}_{machine.lower()}_{method.lower()}.csv",
                 qlon, qlat, pred,
             )
 

@@ -224,8 +224,9 @@ class GoldenGrid:
             return vg.nugget + vg.sill * (1.0 - np.exp(-h / vg.range))
 
         n = vals.shape[0]
-        cx = self.min_lon + (ii + 0.5) * self.lon_step  # (n,4)
-        cy = self.min_lat + (jj + 0.5) * self.lat_step
+        half = getattr(self, "_half", 0.5)
+        cx = self.min_lon + (ii + half) * self.lon_step  # (n,4)
+        cy = self.min_lat + (jj + half) * self.lat_step
 
         M = np.zeros((n, 5, 6), dtype=np.float64)
         dx = cx[:, :, None] - cx[:, None, :]

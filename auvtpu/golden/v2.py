@@ -19,6 +19,16 @@ from .engine import GoldenGrid, ring_offsets
 
 
 class GoldenV2(GoldenGrid):
+    """convention='reference' measures candidate distances to cell centers
+    (+0.5) and offsets kriging neighbor coords by half a cell, like the
+    reference; 'centered' uses the symmetric metric (see docs/SEMANTICS.md).
+    """
+
+    def __init__(self, *args, convention: str = "reference", **kw):
+        super().__init__(*args, **kw)
+        self.convention = convention
+        self._half = 0.5 if convention == "reference" else 0.0
+
     def _window_topk(self, x, y, ci, cj, k):
         cfg = self.kriging_cfg.fallback
         offs, _ = ring_offsets(cfg.max_radius)
@@ -30,8 +40,8 @@ class GoldenV2(GoldenGrid):
         val = self.elev[gjc, gic]
         ok = inb & np.isfinite(val)
 
-        di = (gi + 0.5) - x[:, None]
-        dj = (gj + 0.5) - y[:, None]
+        di = (gi + self._half) - x[:, None]
+        dj = (gj + self._half) - y[:, None]
         d2 = di * di + dj * dj
         d2 = np.where(ok, d2, np.inf)
         idx = np.argsort(d2, axis=1, kind="stable")[:, :k]

@@ -32,15 +32,25 @@ from .scattered import krige_solve
 
 
 @lru_cache(maxsize=16)
-def sorted_offsets(max_radius: int):
-    """Window offsets sorted by (cell-center distance^2, collection order).
+def sorted_offsets(max_radius: int, convention: str = "reference"):
+    """Window offsets sorted by (distance^2, collection order).
 
-    Returns numpy (dx (M,), dy (M,), d2 (M,)) with d2 exact in f32 (quarter
-    integers up to ~2 R^2)."""
+    convention='reference': distances to cell centers (i+0.5, j+0.5) —
+    the reference's asymmetric metric (GridH.cpp:42-44), under which a cell's
+    left/up neighbors are closer than its right/down ones, so nearest-k
+    neighborhoods are one-sided.  convention='centered': symmetric di = dx,
+    dj = dy — geostatistically sound and measurably more accurate (see
+    docs/SEMANTICS.md).  Returns numpy (dx (M,), dy (M,), d2 (M,)) with d2
+    exact in f32."""
     offs, _ = ring_offsets(max_radius)
     dx = offs[:, 0].astype(np.float64)
     dy = offs[:, 1].astype(np.float64)
-    d2 = (dx + 0.5) ** 2 + (dy + 0.5) ** 2
+    if convention == "reference":
+        d2 = (dx + 0.5) ** 2 + (dy + 0.5) ** 2
+    elif convention == "centered":
+        d2 = dx**2 + dy**2
+    else:
+        raise ValueError(convention)
     order = np.lexsort((np.arange(len(offs)), d2))  # stable: ties by collection order
     return (
         offs[order, 0].astype(np.int32),
@@ -102,13 +112,13 @@ def fill_bilinear(grid: RegularGrid):
 _CHUNK = 9  # offsets per while-loop iteration (ring 1 + center = 9)
 
 
-def _offset_loop(grid: RegularGrid, max_radius: int, init, step, saturated):
+def _offset_loop(grid: RegularGrid, max_radius: int, init, step, saturated, convention="reference"):
     """Early-exit chunked loop over the sorted offset table.
 
     step(state, val_plane, ok_plane, d2_scalar, live_scalar) -> state
     saturated(state) -> bool scalar: True when no further offset can matter.
     """
-    dxs, dys, d2s = sorted_offsets(max_radius)
+    dxs, dys, d2s = sorted_offsets(max_radius, convention)
     m = len(dxs)
     n_chunks = -(-m // _CHUNK)
     pad = n_chunks * _CHUNK - m
@@ -144,8 +154,8 @@ def _offset_loop(grid: RegularGrid, max_radius: int, init, step, saturated):
     return state
 
 
-@partial(jax.jit, static_argnames=("k", "max_radius"))
-def fill_window_mean(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
+@partial(jax.jit, static_argnames=("k", "max_radius", "convention"))
+def fill_window_mean(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, convention: str = "reference"):
     """Mean of the k nearest valid cells per cell — the dense Grid B 'cubic':
     at a masked center the 4x4 Catmull-Rom patch always contains the masked
     cell itself, so the reference's cubic *always* takes the ring-fallback
@@ -160,12 +170,14 @@ def fill_window_mean(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
         take = ok * live * (cnt < k).astype(dt)
         return (cnt + take, s + take * v)
 
-    cnt, s = _offset_loop(grid, max_radius, init, step, lambda st: jnp.min(st[0]) >= k)
+    cnt, s = _offset_loop(
+        grid, max_radius, init, step, lambda st: jnp.min(st[0]) >= k, convention
+    )
     return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), jnp.nan)
 
 
-@partial(jax.jit, static_argnames=("k", "power", "max_radius"))
-def fill_idw(grid: RegularGrid, *, k: int = 8, power: float = 2.0, max_radius: int = 10):
+@partial(jax.jit, static_argnames=("k", "power", "max_radius", "convention"))
+def fill_idw(grid: RegularGrid, *, k: int = 8, power: float = 2.0, max_radius: int = 10, convention: str = "reference"):
     """k-nearest IDW fill plane (the BASELINE.json north-star kernel)."""
     cfg = IDWConfig(k=k, power=power, max_radius=max_radius)
     dt = grid.dtype
@@ -179,12 +191,12 @@ def fill_idw(grid: RegularGrid, *, k: int = 8, power: float = 2.0, max_radius: i
         return (cnt + take, ws + w, vs + w * v)
 
     cnt, ws, vs = _offset_loop(
-        grid, max_radius, init, step, lambda st: jnp.min(st[0]) >= k
+        grid, max_radius, init, step, lambda st: jnp.min(st[0]) >= k, convention
     )
     return jnp.where(cnt > 0, vs / jnp.maximum(ws, cfg.eps), jnp.nan)
 
 
-def window_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
+def window_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, convention: str = "reference"):
     """First-k-valid selection with a slim carry: per cell, the *sorted-offset
     index* of each selected slot (f32 planes; -1 = empty slot) plus the count.
 
@@ -196,7 +208,7 @@ def window_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
     zero = grid.elev * 0
     init = (zero, [zero - 1.0 for _ in range(k)])  # cnt, slot offset-indices
 
-    dxs, dys, d2s, live, n_chunks = _padded_tables(max_radius)
+    dxs, dys, d2s, live, n_chunks = _padded_tables(max_radius, convention)
     tdx = jnp.asarray(dxs)
     tdy = jnp.asarray(dys)
     tlive = jnp.asarray(live)
@@ -228,8 +240,8 @@ def window_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
     return cnt, idxs
 
 
-def _padded_tables(max_radius: int):
-    dxs, dys, d2s = sorted_offsets(max_radius)
+def _padded_tables(max_radius: int, convention: str = "reference"):
+    dxs, dys, d2s = sorted_offsets(max_radius, convention)
     m = len(dxs)
     n_chunks = -(-m // _CHUNK)
     pad = n_chunks * _CHUNK - m
@@ -268,7 +280,7 @@ def _slots_at(grid: RegularGrid, idxs, flat_cells, max_radius: int):
     return stack(out_v), stack(out_dx), stack(out_dy)
 
 
-def window_topk_planes(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
+def window_topk_planes(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, convention: str = "reference"):
     """First-k-valid selection as whole-grid planes (cnt, vals, dxs, dys):
     per cell, the k nearest valid neighbors in v2 order with their offsets.
 
@@ -280,7 +292,7 @@ def window_topk_planes(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
     zero = grid.elev * 0
     init = (zero, [zero] * k, [zero] * k, [zero] * k)
 
-    dxs_t, dys_t, d2s, live, n_chunks = _padded_tables(max_radius)
+    dxs_t, dys_t, d2s, live, n_chunks = _padded_tables(max_radius, convention)
     tdx = jnp.asarray(dxs_t)
     tdy = jnp.asarray(dys_t)
     tlive = jnp.asarray(live)
@@ -317,11 +329,14 @@ def window_topk_planes(grid: RegularGrid, *, k: int = 4, max_radius: int = 10):
     return state
 
 
-def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vparams=None):
+def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vparams=None, convention="reference"):
     """Batched kriging solve given selected-slot data at given cells.
 
     cols/rows: (N,) float cell coordinates (global); slot inputs are (N, K).
+    convention='reference' keeps the half-cell neighbor-coordinate shift
+    (GridH.cpp:364-367); 'centered' removes it.
     """
+    half = 0.5 if convention == "reference" else 0.0
     dt = grid.dtype
     if steps is None:
         lat_step = jnp.asarray(grid.lat_step, dt)
@@ -331,15 +346,15 @@ def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vpar
         lon_step = jnp.asarray(steps[1], dt)
     qlon = grid.min_lon + cols * lon_step
     qlat = grid.min_lat + rows * lat_step
-    cx = grid.min_lon + (cols[:, None] + dxs + 0.5) * lon_step
-    cy = grid.min_lat + (rows[:, None] + dys + 0.5) * lat_step
+    cx = grid.min_lon + (cols[:, None] + dxs + half) * lon_step
+    cy = grid.min_lat + (rows[:, None] + dys + half) * lat_step
     pred, singular = krige_solve(qlon, qlat, vals, cx, cy, KrigingConfig(), vparams=vparams)
     fb = jnp.where(cnt > 0, vals.sum(axis=1) / jnp.maximum(cnt, 1.0), jnp.nan)
     return jnp.where(singular | (cnt < 4), fb, pred)
 
 
-@partial(jax.jit, static_argnames=("max_radius",))
-def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None, vparams=None):
+@partial(jax.jit, static_argnames=("max_radius", "convention"))
+def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None, vparams=None, convention: str = "reference"):
     """Ordinary-kriging fill plane: first-4-valid selection (window_topk_planes),
     then a batched 5x5 solve per cell (weights depend on the *geometry* of the
     selected offsets, kernels.cu:478-546).
@@ -350,7 +365,9 @@ def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None,
     """
     H, W = grid.shape
     dt = grid.dtype
-    cnt, vals, dxs, dys = window_topk_planes(grid, k=4, max_radius=max_radius)
+    cnt, vals, dxs, dys = window_topk_planes(
+        grid, k=4, max_radius=max_radius, convention=convention
+    )
     cgrid = jax.lax.broadcasted_iota(dt, (H, W), 1).reshape(-1)
     rgrid = (jax.lax.broadcasted_iota(dt, (H, W), 0) + jnp.asarray(row0, dt)).reshape(-1)
     out = _krige_from_slots(
@@ -363,19 +380,20 @@ def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None,
         rgrid,
         steps=steps,
         vparams=vparams,
+        convention=convention,
     )
     return out.reshape(H, W)
 
 
-@partial(jax.jit, static_argnames=("max_radius",))
-def kriging_at_cells(grid: RegularGrid, rows, cols, *, max_radius: int = 10, vparams=None):
+@partial(jax.jit, static_argnames=("max_radius", "convention"))
+def kriging_at_cells(grid: RegularGrid, rows, cols, *, max_radius: int = 10, vparams=None, convention: str = "reference"):
     """Kriging predictions at an explicit cell list (Grid B workload).
 
     Computes the dense fill plane and takes the requested cells: the fused
     whole-plane solve is cheaper than per-cell slot gathers (XLA's random
     take costs ~30 ns/element — 5 gathers at the cell list dominated the
     entire pipeline before this formulation)."""
-    plane = fill_kriging(grid, max_radius=max_radius, vparams=vparams)
+    plane = fill_kriging(grid, max_radius=max_radius, vparams=vparams, convention=convention)
     rows = jnp.asarray(rows, jnp.int32)
     cols = jnp.asarray(cols, jnp.int32)
     return jnp.take(plane.reshape(-1), rows * grid.num_lon + cols)

@@ -114,8 +114,8 @@ def _catmull_rom(p0, p1, p2, p3, t):
     )
 
 
-@partial(jax.jit, static_argnames=("fallback", "max_radius"))
-def scattered_bicubic(grid: RegularGrid, lons, lats, *, fallback: str = "auto", max_radius: int = 10):
+@partial(jax.jit, static_argnames=("fallback", "max_radius", "convention"))
+def scattered_bicubic(grid: RegularGrid, lons, lats, *, fallback: str = "auto", max_radius: int = 10, convention: str = "reference"):
     """4x4 Catmull-Rom stencil with clamped edges; window fallback when any of
     the 16 cells is invalid (kernels.cu:305-371).
 
@@ -144,7 +144,7 @@ def scattered_bicubic(grid: RegularGrid, lons, lats, *, fallback: str = "auto", 
     if fallback == "never":
         out = smooth
     else:
-        sel = window_select(grid, x, y, xi, yi, k=4, max_radius=max_radius)
+        sel = window_select(grid, x, y, xi, yi, k=4, max_radius=max_radius, convention=convention)
         fb = masked_mean(sel["val"], sel["slot_ok"])
         out = jnp.where(all_valid, smooth, fb)
     return jnp.where(oob, jnp.nan, out)
@@ -220,8 +220,8 @@ def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), 
     return pred, singular
 
 
-@partial(jax.jit, static_argnames=("max_radius",))
-def scattered_kriging(grid: RegularGrid, lons, lats, *, max_radius: int = 10):
+@partial(jax.jit, static_argnames=("max_radius", "convention"))
+def scattered_kriging(grid: RegularGrid, lons, lats, *, max_radius: int = 10, convention: str = "reference"):
     """Window top-4 + exponential variogram + batched 5x5 solve
     (krigingInterpolationKernel, kernels.cu:403-546)."""
     cfg = KrigingConfig()
@@ -230,11 +230,12 @@ def scattered_kriging(grid: RegularGrid, lons, lats, *, max_radius: int = 10):
     ci = jnp.clip(jnp.floor(x + 0.5).astype(jnp.int32), 0, grid.num_lon - 1)
     cj = jnp.clip(jnp.floor(y + 0.5).astype(jnp.int32), 0, grid.num_lat - 1)
 
-    sel = window_select(grid, x, y, ci, cj, k=4, max_radius=max_radius)
+    sel = window_select(grid, x, y, ci, cj, k=4, max_radius=max_radius, convention=convention)
+    half = 0.5 if convention == "reference" else 0.0
     lon_step = jnp.asarray(grid.lon_step, grid.dtype)
     lat_step = jnp.asarray(grid.lat_step, grid.dtype)
-    cx = grid.min_lon + (sel["ii"].astype(grid.dtype) + 0.5) * lon_step
-    cy = grid.min_lat + (sel["jj"].astype(grid.dtype) + 0.5) * lat_step
+    cx = grid.min_lon + (sel["ii"].astype(grid.dtype) + half) * lon_step
+    cy = grid.min_lat + (sel["jj"].astype(grid.dtype) + half) * lat_step
 
     vals = jnp.where(sel["slot_ok"], sel["val"], 0.0)
     pred, singular = krige_solve(
@@ -249,8 +250,8 @@ def scattered_kriging(grid: RegularGrid, lons, lats, *, max_radius: int = 10):
 # IDW (k-nearest inverse-distance weighting)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("k", "power", "max_radius"))
-def scattered_idw(grid: RegularGrid, lons, lats, *, k: int = 8, power: float = 2.0, max_radius: int = 10):
+@partial(jax.jit, static_argnames=("k", "power", "max_radius", "convention"))
+def scattered_idw(grid: RegularGrid, lons, lats, *, k: int = 8, power: float = 2.0, max_radius: int = 10, convention: str = "reference"):
     """k-nearest masked IDW in index space; weights 1/(d^p + eps).
 
     Not in the C++ reference (it is the BASELINE.json north-star kernel); the
@@ -261,7 +262,7 @@ def scattered_idw(grid: RegularGrid, lons, lats, *, k: int = 8, power: float = 2
     x, y, oob = _normalize(grid, lons, lats)
     ci = jnp.clip(jnp.floor(x + 0.5).astype(jnp.int32), 0, grid.num_lon - 1)
     cj = jnp.clip(jnp.floor(y + 0.5).astype(jnp.int32), 0, grid.num_lat - 1)
-    sel = window_select(grid, x, y, ci, cj, k=cfg.k, max_radius=cfg.max_radius)
+    sel = window_select(grid, x, y, ci, cj, k=cfg.k, max_radius=cfg.max_radius, convention=convention)
     w = jnp.where(
         sel["slot_ok"],
         1.0 / (jnp.power(sel["d2"], cfg.power / 2.0) + cfg.eps),

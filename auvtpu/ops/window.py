@@ -42,6 +42,7 @@ def window_select(
     *,
     k: int = 4,
     max_radius: int = 10,
+    convention: str = "reference",
 ):
     """Select the k nearest valid cells in the (2R+1)^2 window around (ci, cj).
 
@@ -72,8 +73,9 @@ def window_select(
     val = val.reshape(gi.shape)
     ok = inb & vok.reshape(gi.shape)
 
-    di = (gi.astype(x.dtype) + 0.5) - x[:, None]
-    dj = (gj.astype(y.dtype) + 0.5) - y[:, None]
+    half = 0.5 if convention == "reference" else 0.0
+    di = (gi.astype(x.dtype) + half) - x[:, None]
+    dj = (gj.astype(y.dtype) + half) - y[:, None]
     d2 = di * di + dj * dj
     neg = jnp.where(ok, -d2, -jnp.inf)
 

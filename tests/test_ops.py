@@ -209,3 +209,60 @@ def test_upsample_shapes():
     # even positions are exact copies
     up = np.asarray(upsample2x_bicubic(grid))
     np.testing.assert_allclose(up[::2, ::2], np.asarray(grid.elev), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# centered distance convention (docs/SEMANTICS.md)
+# ---------------------------------------------------------------------------
+
+def test_centered_convention_parity_and_improvement():
+    from auvtpu.golden.v2 import GoldenV2
+    from auvtpu.ops import fill_idw, fill_window_mean
+
+    elev = shelf_seamount(H, W)
+    masked, rc, truth = __import__("auvtpu.masking", fromlist=["mask_grid"]).mask_grid(
+        elev, 0.15, seed=21
+    )
+    grid = RegularGrid.from_nan_array(masked, UNIT_EXT)
+    gv2c = GoldenV2(
+        masked, UNIT_EXT.min_lon, UNIT_EXT.max_lon, UNIT_EXT.min_lat, UNIT_EXT.max_lat,
+        convention="centered",
+    )
+    rr, cc = rc[:, 0], rc[:, 1]
+    # parity: TPU centered ops match the centered float64 oracle
+    got = np.asarray(fill_window_mean(grid, k=4, convention="centered"))[rr, cc]
+    want = gv2c.cubic(cc.astype(float), rr.astype(float))
+    assert_close(got, want)
+    got_i = np.asarray(fill_idw(grid, k=8, convention="centered"))[rr, cc]
+    want_i = gv2c.idw(cc.astype(float), rr.astype(float), k=8)
+    assert_close(got_i, want_i)
+    # improvement: centered beats the reference convention on held-out truth
+    ref = np.asarray(fill_window_mean(grid, k=4, convention="reference"))[rr, cc]
+    err_c = np.nanmean(np.abs(got - truth))
+    err_r = np.nanmean(np.abs(ref - truth))
+    assert err_c < err_r
+
+
+def test_centered_kriging_matches_centered_oracle():
+    from auvtpu.golden.v2 import GoldenV2
+    from auvtpu.ops import kriging_at_cells
+    import jax.numpy as jnp
+
+    elev = shelf_seamount(H, W)
+    masked, rc, truth = __import__("auvtpu.masking", fromlist=["mask_grid"]).mask_grid(
+        elev, 0.15, seed=22
+    )
+    grid = RegularGrid.from_nan_array(masked, UNIT_EXT)
+    gv2c = GoldenV2(
+        masked, UNIT_EXT.min_lon, UNIT_EXT.max_lon, UNIT_EXT.min_lat, UNIT_EXT.max_lat,
+        convention="centered",
+    )
+    rr, cc = rc[:, 0], rc[:, 1]
+    got = np.asarray(
+        kriging_at_cells(
+            grid, jnp.asarray(rr, jnp.int32), jnp.asarray(cc, jnp.int32),
+            convention="centered",
+        )
+    )
+    want = gv2c.kriging(cc.astype(float), rr.astype(float))
+    assert_close(got, want, atol=0.15)

@@ -1,0 +1,98 @@
+"""Stencil-pack scattered ops vs the plain scattered ops / golden oracles."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from auvtpu.config import Extent
+from auvtpu.grid import RegularGrid
+from auvtpu.masking import mask_grid
+from auvtpu.ops import scattered_bicubic, scattered_bilinear, scattered_idw, scattered_kriging
+from auvtpu.ops.packs import (
+    StencilPack,
+    fetch_pack,
+    build_pack,
+    packed_bicubic,
+    packed_bilinear,
+    packed_idw,
+    packed_kriging,
+)
+from auvtpu.synthetic import shelf_seamount
+
+H, W = 70, 90
+EXT = Extent(0.0, float(W - 1), 0.0, float(H - 1))
+
+
+def _mk(masked):
+    elev = shelf_seamount(H, W)
+    if masked:
+        elev, _, _ = mask_grid(elev, 0.08, seed=12)
+    return RegularGrid.from_nan_array(elev, EXT)
+
+
+def _queries(n=400, seed=5):
+    r = np.random.RandomState(seed)
+    return (
+        r.uniform(1e-6, W - 1 - 1e-6, n).astype(np.float32),
+        r.uniform(1e-6, H - 1 - 1e-6, n).astype(np.float32),
+    )
+
+
+def test_fetch_pack_roundtrip():
+    grid = _mk(False)
+    pack, P = build_pack(grid, [(0, 0), (0, 1), (1, 0)], clamp=True)
+    assert P == 4
+    idx = jnp.asarray([0, 5, W + 3, H * W - 1], jnp.int32)
+    st = np.asarray(fetch_pack(pack, P, idx))
+    elev = np.asarray(grid.elev)
+    rr, cc = np.divmod(np.asarray(idx), W)
+    np.testing.assert_allclose(st[:, 0], elev[rr, cc], rtol=1e-6)
+    np.testing.assert_allclose(st[:, 1], elev[rr, np.minimum(cc + 1, W - 1)], rtol=1e-6)
+    np.testing.assert_allclose(st[:, 2], elev[np.minimum(rr + 1, H - 1), cc], rtol=1e-6)
+    assert np.isnan(st[:, 3]).all()  # padding lane
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_packed_bilinear_matches_scattered(masked):
+    grid = _mk(masked)
+    sp = StencilPack(grid)
+    lons, lats = _queries()
+    a = np.asarray(packed_bilinear(sp.bilinear, grid, lons, lats))
+    b = np.asarray(scattered_bilinear(grid, lons, lats))
+    assert (np.isnan(a) == np.isnan(b)).all()
+    both = ~np.isnan(a)
+    np.testing.assert_allclose(a[both], b[both], rtol=1e-5, atol=1e-3)
+
+
+def test_packed_bicubic_matches_scattered_on_valid_grid():
+    grid = _mk(False)
+    sp = StencilPack(grid)
+    lons, lats = _queries()
+    a = np.asarray(packed_bicubic(sp.bicubic, grid, lons, lats))
+    b = np.asarray(scattered_bicubic(grid, lons, lats, fallback="never"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_packed_kriging_matches_scattered(masked):
+    grid = _mk(masked)
+    sp = StencilPack(grid, window_radius=2)
+    lons, lats = _queries(300)
+    a = np.asarray(packed_kriging(sp.window, grid, lons, lats, window_radius=2))
+    b = np.asarray(scattered_kriging(grid, lons, lats, max_radius=2))
+    assert (np.isnan(a) == np.isnan(b)).all()
+    both = ~np.isnan(a)
+    np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.1)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_packed_idw_matches_scattered(masked):
+    grid = _mk(masked)
+    sp = StencilPack(grid, window_radius=2)
+    lons, lats = _queries()
+    a = np.asarray(packed_idw(sp.window, grid, lons, lats, k=8, window_radius=2))
+    b = np.asarray(scattered_idw(grid, lons, lats, k=8, max_radius=2))
+    assert (np.isnan(a) == np.isnan(b)).all()
+    both = ~np.isnan(a)
+    np.testing.assert_allclose(a[both], b[both], rtol=1e-5, atol=1e-2)
