@@ -1,0 +1,51 @@
+"""Scattered-data prototype pipeline CLI (rebuild of code/main.py +
+test_interpolation.py): sample a fraction of a GEBCO tile, re-predict the
+full grid from the samples, and report range-normalized RMSE per method —
+the sanity-check flow the reference ran with scipy.griddata + PyKrige.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from ..config import GEBCO_TILES
+from ..scattered import sample_and_reconstruct
+from .bench_grid_b import load_region
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--region", default="us_east_coast", choices=list(GEBCO_TILES))
+    p.add_argument("--gebco-root", default="/root/reference/GEBCO-Data")
+    p.add_argument("--subset", type=float, default=0.01, help="sample fraction (main.py used 0.01)")
+    p.add_argument("--k", type=int, default=50, help="moving-window neighbors (PyKrige n_closest_points)")
+    p.add_argument("--methods", nargs="*", default=["linear", "idw", "kriging"])
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out-prefix", default=None, help="write reconstructed grids as .npy")
+    args = p.parse_args(argv)
+
+    elev, ext = load_region(args.region, args.gebco_root)
+    print(f"{args.region}: {elev.shape[1]} x {elev.shape[0]} cells, sampling {args.subset:.1%}")
+    span = np.nanmax(elev) - np.nanmin(elev)
+
+    for method in args.methods:
+        t0 = time.time()
+        pred, sample_mask = sample_and_reconstruct(
+            elev, ext, subset_fraction=args.subset, method=method, k=args.k, seed=args.seed
+        )
+        dt = time.time() - t0
+        hold = ~sample_mask  # score on non-sample cells (test_interpolation.py:111-146)
+        rmse = float(np.sqrt(np.nanmean((pred[hold] - elev[hold]) ** 2)))
+        print(
+            f"  {method:8s}: RMSE {rmse:9.3f} m  ({100*rmse/span:5.2f}% of range)  "
+            f"wall {dt:6.1f}s for {hold.sum()} predictions"
+        )
+        if args.out_prefix:
+            np.save(f"{args.out_prefix}_{method}.npy", pred)
+
+
+if __name__ == "__main__":
+    main()
