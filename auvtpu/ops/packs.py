@@ -188,10 +188,15 @@ def packed_window_select(pack, grid: RegularGrid, lons, lats, *, k, window_radiu
     neg = jnp.where(ok, -d2, -jnp.inf)
     top_neg, top_idx = jax.lax.top_k(neg, k)
     slot_ok = jnp.isfinite(top_neg)
-    take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
-    vals = jnp.where(slot_ok, take(jnp.where(ok, st[:, :m], 0.0)), 0.0)
-    sel_dy = take(jnp.broadcast_to(dyx[None, :, 0], d2.shape))
-    sel_dx = take(jnp.broadcast_to(dyx[None, :, 1], d2.shape))
+    # select via one-hot contraction: take_along_axis lowers to a minor-dim
+    # gather (~17ns/elem on TPU); the (N,k,m) one-hot einsum fuses instead
+    oh = (
+        top_idx[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+    ).astype(st.dtype)
+    pick = lambda a: jnp.einsum("nkm,nm->nk", oh, a)
+    vals = jnp.where(slot_ok, pick(jnp.where(ok, st[:, :m], 0.0)), 0.0)
+    sel_dy = pick(jnp.broadcast_to(dyx[None, :, 0], d2.shape))
+    sel_dx = pick(jnp.broadcast_to(dyx[None, :, 1], d2.shape))
     return {
         "x": x, "y": y, "oob": oob, "ci": ci, "cj": cj,
         "val": vals, "d2": -top_neg, "slot_ok": slot_ok,

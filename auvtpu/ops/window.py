@@ -81,11 +81,15 @@ def window_select(
 
     top_neg, top_idx = jax.lax.top_k(neg, k)  # ties -> lowest index = collection order
     slot_ok = jnp.isfinite(top_neg)
-    take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
+    m = val.shape[1]
+    oh = (
+        top_idx[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+    ).astype(val.dtype)
+    pick = lambda a: jnp.einsum("nkm,nm->nk", oh, a.astype(val.dtype))
     return {
-        "val": take(val),
-        "ii": take(gic),
-        "jj": take(gjc),
+        "val": pick(val),
+        "ii": pick(gic).astype(jnp.int32),
+        "jj": pick(gjc).astype(jnp.int32),
         "d2": -top_neg,
         "found": slot_ok.sum(axis=1).astype(jnp.int32),
         "slot_ok": slot_ok,
