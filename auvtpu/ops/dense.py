@@ -353,8 +353,8 @@ def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vpar
     return jnp.where(singular | (cnt < 4), fb, pred)
 
 
-@partial(jax.jit, static_argnames=("max_radius", "convention"))
-def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None, vparams=None, convention: str = "reference"):
+@partial(jax.jit, static_argnames=("max_radius", "convention", "backend"))
+def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None, vparams=None, convention: str = "reference", backend: str = "xla"):
     """Ordinary-kriging fill plane: first-4-valid selection (window_topk_planes),
     then a batched 5x5 solve per cell (weights depend on the *geometry* of the
     selected offsets, kernels.cu:478-546).
@@ -365,9 +365,16 @@ def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None,
     """
     H, W = grid.shape
     dt = grid.dtype
-    cnt, vals, dxs, dys = window_topk_planes(
-        grid, k=4, max_radius=max_radius, convention=convention
-    )
+    if backend == "pallas":
+        from ..pallas import pallas_topk_full
+
+        cnt, vals, dxs, dys = pallas_topk_full(
+            grid, k=4, max_radius=max_radius, convention=convention
+        )
+    else:
+        cnt, vals, dxs, dys = window_topk_planes(
+            grid, k=4, max_radius=max_radius, convention=convention
+        )
     cgrid = jax.lax.broadcasted_iota(dt, (H, W), 1).reshape(-1)
     rgrid = (jax.lax.broadcasted_iota(dt, (H, W), 0) + jnp.asarray(row0, dt)).reshape(-1)
     out = _krige_from_slots(

@@ -14,6 +14,12 @@ distance-sorted offsets, first-k-valid, per-chunk global-saturation early
 exit) and are validated against the XLA ops in tests/test_pallas.py.
 """
 
-from .window_fill import pallas_fill_idw, pallas_fill_mean, pallas_topk_idx, pallas_available
+from .window_fill import (
+    pallas_fill_idw,
+    pallas_fill_mean,
+    pallas_topk_idx,
+    pallas_topk_full,
+    pallas_available,
+)
 
-__all__ = ["pallas_fill_idw", "pallas_fill_mean", "pallas_topk_idx", "pallas_available"]
+__all__ = ["pallas_fill_idw", "pallas_fill_mean", "pallas_topk_idx", "pallas_topk_full", "pallas_available"]

@@ -314,3 +314,137 @@ def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile
         grid_spec=grid_spec,
     )(dy_tab, dx_tab, live_tab, pv.astype(jnp.float32))
     return cnt[:H, :W], [idxs[s, :H, :W] for s in range(k)]
+
+
+# ---------------------------------------------------------------------------
+# value-carrying top-k kernel (kriging front end, gather-free)
+# ---------------------------------------------------------------------------
+#
+# Carries (cnt, k values, k packed-offset codes) per tile in VMEM with a
+# per-tile early exit — interior tiles saturate within ~3 chunks while the
+# XLA whole-plane loop must run to the *global* worst cell.  The elevation
+# and validity ride in ONE NaN-encoded slab (half the DMA traffic); slot
+# updates use selects, never arithmetic, so NaN cannot leak.
+
+def _make_topk_full_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    code_base = 2 * radius + 12  # packing stride for (dx+R, dy+R)
+
+    def kernel(dy_ref, dx_ref, live_ref, nanp_hbm, out_ref, slab, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        sh, sw = _slab_shape(radius, th, tw)
+        copy = pltpu.make_async_copy(
+            nanp_hbm.at[pl.ds(i * th, sh), pl.ds(j * tw, sw)], slab, sem
+        )
+        copy.start()
+        copy.wait()
+
+        zero = jnp.zeros((th, tw), jnp.float32)
+        init = (zero, tuple(zero for _ in range(k)), tuple(zero - 1.0 for _ in range(k)))
+        win = _window_reader(slab, radius, th, tw)
+
+        def cond(carry):
+            c, (cnt, _v, _o) = carry
+            return (c == 0) | ((c < n_chunks) & (jnp.min(cnt) < k))
+
+        def body(carry):
+            c, (cnt, vals, codes) = carry
+            base = c * _CHUNK
+            for t in range(_CHUNK):
+                oi = base + t
+                dy = dy_ref[oi]
+                dx = dx_ref[oi]
+                live = live_ref[oi] > 0.0
+                v = win(dy, dx)
+                okv = jnp.logical_not(jnp.isnan(v))
+                take = jnp.where(live & okv, (cnt < k).astype(jnp.float32), 0.0)
+                code = (dx.astype(jnp.float32) * code_base + dy.astype(jnp.float32))
+                nv, nc = [], []
+                for s in range(k):
+                    hit = (take > 0) & (cnt == s)
+                    nv.append(jnp.where(hit, v, vals[s]))
+                    nc.append(jnp.where(hit, code, codes[s]))
+                cnt = cnt + take
+                vals, codes = tuple(nv), tuple(nc)
+            return (c + 1, (cnt, vals, codes))
+
+        _, (cnt, vals, codes) = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), init)
+        )
+        out_ref[0] = cnt
+        for s in range(k):
+            out_ref[1 + s] = vals[s]
+            out_ref[1 + k + s] = codes[s]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "max_radius", "tile", "convention"))
+def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(256, 256), convention: str = "reference"):
+    """Value-carrying first-k-valid selection: returns (cnt, vals list,
+    dxs list, dys list) planes — a drop-in for ops.dense.window_topk_planes
+    with per-tile early exit."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = max_radius
+    th, tw = tile
+    H, W = grid.shape
+    # NaN-encoded single slab: invalid and out-of-grid cells are NaN
+    nan_grid = RegularGrid(
+        elev=jnp.where(grid.valid > 0.5, grid.elev, jnp.nan),
+        valid=grid.valid,
+        min_lon=grid.min_lon, max_lon=grid.max_lon,
+        min_lat=grid.min_lat, max_lat=grid.max_lat,
+    )
+    th_, tw_ = tile
+    sh, sw = _slab_shape(R, th_, tw_)
+    Hp = -(-H // th_) * th_
+    Wp = -(-W // tw_) * tw_
+    pad_b = (Hp - th_ + sh) - H - R
+    pad_r = (Wp - tw_ + sw) - W - R
+    nanp = jnp.pad(nan_grid.elev, ((R, pad_b), (R, pad_r)), constant_values=jnp.nan)
+
+    dxs, dys, d2s, live, n_chunks = _padded_tables(R, convention)
+    dy_tab = jnp.asarray(dys + R, jnp.int32)
+    dx_tab = jnp.asarray(dxs + R, jnp.int32)
+    live_tab = jnp.asarray(live, jnp.float32)
+
+    kernel = _make_topk_full_kernel(k, R, th, tw, n_chunks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(Hp // th, Wp // tw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1 + 2 * k, th, tw), lambda i, j, *_: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(_slab_shape(R, th, tw), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1 + 2 * k, Hp, Wp), jnp.float32),
+        grid_spec=grid_spec,
+    )(dy_tab, dx_tab, live_tab, nanp)
+    cnt = out[0, :H, :W]
+    vals = [out[1 + s, :H, :W] for s in range(k)]
+    code_base = 2 * R + 12
+    dxs_o, dys_o = [], []
+    for s in range(k):
+        code = out[1 + k + s, :H, :W]
+        # empty slots carry code -1 -> decode to harmless (dx,dy) ~ 0; cnt
+        # masks them downstream
+        c = jnp.maximum(code, 0.0)
+        dx = jnp.floor(c / code_base) - R
+        dy = c - (dx + R) * code_base - R
+        dxs_o.append(dx)
+        dys_o.append(dy)
+    # zero empty-slot values (the reference fallback mean divides by cnt)
+    slot_id = jnp.arange(k)
+    vals = [jnp.where(cnt > s, v, 0.0) for s, v in zip(range(k), vals)]
+    return cnt, vals, dxs_o, dys_o

@@ -72,10 +72,14 @@ def main():
     mask_d = jnp.asarray(mask_plane)
 
     from auvtpu.ops import fill_kriging
+    from auvtpu.pallas import pallas_available
+
+    backend = "pallas" if pallas_available() else "xla"
+    log(f"selection backend: {backend}")
 
     @jax.jit
     def step(grid, truth_d, mask_d):
-        plane = fill_kriging(grid)
+        plane = fill_kriging(grid, backend=backend)
         ok = mask_d * (~jnp.isnan(plane)).astype(jnp.float32)
         d = jnp.where(ok > 0, truth_d - plane, 0.0)
         rmse = jnp.sqrt(jnp.sum(d * d) / n_pts)

@@ -64,3 +64,32 @@ def test_pallas_topk_idx_matches_xla(grid):
     np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_x))
     for s in range(4):
         np.testing.assert_array_equal(np.asarray(idx_p[s]), np.asarray(idx_x[s]))
+
+
+def test_pallas_topk_full_matches_xla(grid):
+    from auvtpu.pallas import pallas_topk_full
+    from auvtpu.ops.dense import window_topk_planes
+
+    with _interp():
+        cnt_p, vals_p, dxs_p, dys_p = pallas_topk_full(grid, k=4, max_radius=5, tile=(32, 32))
+    cnt_x, vals_x, dxs_x, dys_x = window_topk_planes(grid, k=4, max_radius=5)
+    np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_x))
+    cnt = np.asarray(cnt_x)
+    for s in range(4):
+        live = cnt > s  # empty slots are don't-care
+        np.testing.assert_allclose(
+            np.asarray(vals_p[s])[live], np.asarray(vals_x[s])[live], rtol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(dxs_p[s])[live], np.asarray(dxs_x[s])[live])
+        np.testing.assert_array_equal(np.asarray(dys_p[s])[live], np.asarray(dys_x[s])[live])
+
+
+def test_fill_kriging_pallas_backend_matches_xla(grid):
+    from auvtpu.ops import fill_kriging
+
+    with _interp():
+        a = np.asarray(fill_kriging(grid, max_radius=5, backend="pallas"))
+    b = np.asarray(fill_kriging(grid, max_radius=5, backend="xla"))
+    assert (np.isnan(a) == np.isnan(b)).all()
+    both = ~np.isnan(a)
+    np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
