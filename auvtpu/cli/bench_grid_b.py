@@ -62,6 +62,8 @@ def main(argv=None):
     p.add_argument("--out-prefix", default=None, help="write per-point CSVs with this prefix")
     p.add_argument("--methods", nargs="*", default=["Bilinear", "Cubic", "Kriging", "IDW"])
     p.add_argument("--idw-k", type=int, default=8)
+    p.add_argument("--backend", choices=["xla", "pallas"], default="xla",
+                   help="kriging selection backend (pallas: per-tile early exit)")
     p.add_argument(
         "--convention", choices=["reference", "centered"], default="reference",
         help="neighbor-distance convention: 'reference' reproduces the "
@@ -101,7 +103,9 @@ def main(argv=None):
     ops = {
         "Bilinear": lambda: at_cells(fill_bilinear(grid)),
         "Cubic": lambda: at_cells(fill_window_mean(grid, k=4, convention=conv)),
-        "Kriging": lambda: kriging_at_cells(grid, rows, cols, convention=conv),
+        "Kriging": lambda: kriging_at_cells(
+            grid, rows, cols, convention=conv, backend=args.backend
+        ),
         "IDW": lambda: at_cells(fill_idw(grid, k=args.idw_k, convention=conv)),
     }
 

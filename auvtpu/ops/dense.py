@@ -392,15 +392,17 @@ def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None,
     return out.reshape(H, W)
 
 
-@partial(jax.jit, static_argnames=("max_radius", "convention"))
-def kriging_at_cells(grid: RegularGrid, rows, cols, *, max_radius: int = 10, vparams=None, convention: str = "reference"):
+@partial(jax.jit, static_argnames=("max_radius", "convention", "backend"))
+def kriging_at_cells(grid: RegularGrid, rows, cols, *, max_radius: int = 10, vparams=None, convention: str = "reference", backend: str = "xla"):
     """Kriging predictions at an explicit cell list (Grid B workload).
 
     Computes the dense fill plane and takes the requested cells: the fused
     whole-plane solve is cheaper than per-cell slot gathers (XLA's random
     take costs ~30 ns/element — 5 gathers at the cell list dominated the
     entire pipeline before this formulation)."""
-    plane = fill_kriging(grid, max_radius=max_radius, vparams=vparams, convention=convention)
+    plane = fill_kriging(
+        grid, max_radius=max_radius, vparams=vparams, convention=convention, backend=backend
+    )
     rows = jnp.asarray(rows, jnp.int32)
     cols = jnp.asarray(cols, jnp.int32)
     return jnp.take(plane.reshape(-1), rows * grid.num_lon + cols)
