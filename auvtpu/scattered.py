@@ -32,7 +32,11 @@ from .ops.scattered import variogram as variogram_fn
 
 def _pairwise_d2(a, b):
     """Squared distances (|A|^2 + |B|^2 - 2 A.B) — the MXU does the A.B term.
-    a: (n, 2), b: (m, 2) -> (n, m)."""
+    a: (n, 2), b: (m, 2) -> (n, m).
+
+    Callers MUST center coordinates first: with raw geographic coords the
+    |A|^2 terms (~5e3 for lon ~ -73) swamp the ~1e-4 squared distances of
+    interest below f32 resolution (catastrophic cancellation)."""
     aa = jnp.sum(a * a, axis=1, keepdims=True)
     bb = jnp.sum(b * b, axis=1, keepdims=True)
     ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
@@ -48,6 +52,10 @@ def knn_search(targets_xy, points_xy, *, k: int, pt_chunk: int = 8192):
     """
     n = targets_xy.shape[0]
     m = points_xy.shape[0]
+    # translate to the point-cloud centroid so squared distances survive f32
+    center = jnp.mean(points_xy, axis=0, keepdims=True)
+    targets_xy = targets_xy - center
+    points_xy = points_xy - center
     pad = (-m) % pt_chunk
     pts = jnp.pad(points_xy, ((0, pad), (0, 0)), constant_values=jnp.inf)
     n_chunks = (m + pad) // pt_chunk
@@ -144,6 +152,7 @@ def kriging_knn(points_xy, points_val, targets_xy, *, k: int = 50, vparams=None)
 def _scattered_semivariance(points_xy, points_val, *, n_bins: int = 12, max_pairs_sqrt: int = 4096):
     m = min(points_xy.shape[0], max_pairs_sqrt)
     xy = points_xy[:m]
+    xy = xy - jnp.mean(xy, axis=0, keepdims=True)
     v = points_val[:m]
     d2 = _pairwise_d2(xy, xy)
     d = jnp.sqrt(d2)

@@ -88,3 +88,15 @@ def test_sample_and_reconstruct(method, max_rnrmse):
     rmse = np.sqrt(np.mean((pred - elev) ** 2))
     rnrmse = 100.0 * rmse / (elev.max() - elev.min())
     assert rnrmse < max_rnrmse, f"{method}: {rnrmse:.2f}%"
+
+
+def test_knn_search_large_coordinate_offsets():
+    # regression: raw geographic magnitudes (lon ~ -73) must not destroy
+    # small squared distances in f32 (catastrophic cancellation)
+    r = np.random.RandomState(7)
+    pts = (r.uniform(0, 0.5, (400, 2)) + np.array([-73.0, 35.0])).astype(np.float32)
+    tgt = (r.uniform(0.1, 0.4, (30, 2)) + np.array([-73.0, 35.0])).astype(np.float32)
+    d2, idx = knn_search(jnp.asarray(tgt), jnp.asarray(pts), k=4, pt_chunk=128)
+    full = ((tgt.astype(np.float64)[:, None, :] - pts.astype(np.float64)[None, :, :]) ** 2).sum(-1)
+    want = np.sort(full, axis=1)[:, :4]
+    np.testing.assert_allclose(np.asarray(d2), want, rtol=1e-2, atol=1e-7)
