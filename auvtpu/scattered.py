@@ -124,15 +124,20 @@ def _ok_from_knn(d2, xy_k, vals_k, targets_xy, vparams, *, k: int):
     dt = d2.dtype
     dx = xy_k[:, :, None, 0] - xy_k[:, None, :, 0]
     dy = xy_k[:, :, None, 1] - xy_k[:, None, :, 1]
-    G = variogram_fn(jnp.sqrt(dx * dx + dy * dy), vparams)  # (n,k,k)
+    # Ordinary-kriging weights are invariant to scaling gamma (only the
+    # Lagrange multiplier rescales), so normalize the system to O(1) entries:
+    # raw gammas reach ~1e5+ for trend-dominated fields, which wrecks the
+    # f32 (k+1)x(k+1) solve against the all-ones Lagrange row.
+    scale = variogram_fn(jnp.sqrt(jnp.maximum(jnp.max(d2), 1e-12)), vparams)
+    G = variogram_fn(jnp.sqrt(dx * dx + dy * dy), vparams) / scale  # (n,k,k)
     A = jnp.zeros((n, k + 1, k + 1), dt)
     A = A.at[:, :k, :k].set(G)
     A = A.at[:, :k, k].set(1.0)
     A = A.at[:, k, :k].set(1.0)
     rhs = jnp.concatenate(
-        [variogram_fn(jnp.sqrt(d2), vparams), jnp.ones((n, 1), dt)], axis=1
+        [variogram_fn(jnp.sqrt(d2), vparams) / scale, jnp.ones((n, 1), dt)], axis=1
     )
-    # tiny diagonal jitter on the gamma block for f32 stability
+    # diagonal jitter on the gamma block for f32 stability
     A = A.at[:, :k, :k].add(1e-4 * jnp.eye(k, dtype=dt))
     w = jnp.linalg.solve(A, rhs[..., None])[..., 0]  # (n, k+1)
     return jnp.sum(w[:, :k] * vals_k, axis=1)
@@ -148,8 +153,15 @@ def kriging_knn(points_xy, points_val, targets_xy, *, k: int = 50, vparams=None)
     return _ok_from_knn(d2, xy_k, vals_k, targets_xy, vparams, k=k)
 
 
-@partial(jax.jit, static_argnames=("n_bins", "max_pairs_sqrt"))
-def _scattered_semivariance(points_xy, points_val, *, n_bins: int = 12, max_pairs_sqrt: int = 4096):
+@partial(jax.jit, static_argnames=("n_bins", "max_pairs_sqrt", "short_frac"))
+def _scattered_semivariance(
+    points_xy, points_val, *, n_bins: int = 12, max_pairs_sqrt: int = 4096,
+    short_frac: float = 0.1,
+):
+    """Empirical semivariance over sampled point pairs, restricted to SHORT
+    lags (<= short_frac of the max pair distance): moving-window kriging only
+    evaluates gamma at neighbor distances, so fitting tile-scale lags lets
+    long-range trend dominate and wrecks the short-range weights."""
     m = min(points_xy.shape[0], max_pairs_sqrt)
     xy = points_xy[:m]
     xy = xy - jnp.mean(xy, axis=0, keepdims=True)
@@ -157,10 +169,10 @@ def _scattered_semivariance(points_xy, points_val, *, n_bins: int = 12, max_pair
     d2 = _pairwise_d2(xy, xy)
     d = jnp.sqrt(d2)
     dv = (v[:, None] - v[None, :]) ** 2
-    dmax = jnp.max(jnp.where(jnp.isfinite(d), d, 0.0))
+    dmax = jnp.max(jnp.where(jnp.isfinite(d), d, 0.0)) * short_frac
     edges = jnp.linspace(0.0, dmax + 1e-9, n_bins + 1)
     bins = jnp.clip(jnp.searchsorted(edges, d) - 1, 0, n_bins - 1)
-    off_diag = ~jnp.eye(m, dtype=bool)
+    off_diag = ~jnp.eye(m, dtype=bool) & (d < dmax)
     s = jnp.zeros((n_bins,), d.dtype).at[bins].add(jnp.where(off_diag, dv, 0.0))
     c = jnp.zeros((n_bins,), d.dtype).at[bins].add(off_diag.astype(d.dtype))
     gamma = jnp.where(c > 0, s / (2.0 * jnp.maximum(c, 1.0)), 0.0)
