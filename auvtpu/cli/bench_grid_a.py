@@ -172,6 +172,27 @@ def main(argv=None):
             path = f"{args.expanded_out_prefix}_tpu_{name}.csv"
             log(f"expanded 2x {name}: {out.shape} in {ms:.1f} ms -> {path}")
             write_grid_csv(path, out)
+        # kriging/IDW have no separable form: run the scattered op over the
+        # expanded lattice (queries at half-integer grid coords,
+        # test_interpolation.cpp:91-109) in chunks
+        Hn, Wn = 2 * grid.num_lat - 1, 2 * grid.num_lon - 1
+        lo = ext.min_lon + np.arange(Wn, dtype=np.float64) * (ext.max_lon - ext.min_lon) / (Wn - 1)
+        la = ext.min_lat + np.arange(Hn, dtype=np.float64) * (ext.max_lat - ext.min_lat) / (Hn - 1)
+        LO, LA = np.meshgrid(lo.astype(np.float32), la.astype(np.float32))
+        import time as _t
+
+        for name, fn in [("kriging", ops["Kriging"]), ("idw", ops["IDW"])]:
+            t0 = _t.perf_counter()
+            out = np.asarray(
+                apply_chunked(
+                    lambda g, lo_, la_, _f=fn: _f(g, lo_, la_),
+                    grid, LO.ravel(), LA.ravel(), chunk=1 << 21,
+                )
+            ).reshape(Hn, Wn)
+            ms = (_t.perf_counter() - t0) * 1e3
+            path = f"{args.expanded_out_prefix}_tpu_{name}.csv"
+            log(f"expanded 2x {name}: {out.shape} in {ms:.1f} ms -> {path}")
+            write_grid_csv(path, out)
 
     if not overall_ok:
         log("VALIDATION FAILED")
