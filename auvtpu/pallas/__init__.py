@@ -19,7 +19,8 @@ from .window_fill import (
     pallas_fill_mean,
     pallas_topk_idx,
     pallas_topk_full,
+    pallas_fill_kriging,
     pallas_available,
 )
 
-__all__ = ["pallas_fill_idw", "pallas_fill_mean", "pallas_topk_idx", "pallas_topk_full", "pallas_available"]
+__all__ = ["pallas_fill_idw", "pallas_fill_mean", "pallas_topk_idx", "pallas_topk_full", "pallas_fill_kriging", "pallas_available"]

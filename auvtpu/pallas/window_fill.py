@@ -448,3 +448,186 @@ def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, til
     slot_id = jnp.arange(k)
     vals = [jnp.where(cnt > s, v, 0.0) for s, v in zip(range(k), vals)]
     return cnt, vals, dxs_o, dys_o
+
+
+# ---------------------------------------------------------------------------
+# fully-fused kriging fill kernel: selection + 5x6 Gauss-Jordan in VMEM
+# ---------------------------------------------------------------------------
+
+def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = 4
+    code_base = 2 * radius + 12
+
+    def kernel(dy_ref, dx_ref, live_ref, par_ref, nanp_hbm, out_ref, slab, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        sh, sw = _slab_shape(radius, th, tw)
+        copy = pltpu.make_async_copy(
+            nanp_hbm.at[pl.ds(i * th, sh), pl.ds(j * tw, sw)], slab, sem
+        )
+        copy.start()
+        copy.wait()
+
+        zero = jnp.zeros((th, tw), jnp.float32)
+        init = (zero, tuple(zero for _ in range(K)), tuple(zero - 1.0 for _ in range(K)))
+        win = _window_reader(slab, radius, th, tw)
+
+        def cond(carry):
+            c, (cnt, _v, _o) = carry
+            return (c == 0) | ((c < n_chunks) & (jnp.min(cnt) < K))
+
+        def body(carry):
+            c, (cnt, vals, codes) = carry
+            base = c * _CHUNK
+            for t in range(_CHUNK):
+                oi = base + t
+                dy = dy_ref[oi]
+                dx = dx_ref[oi]
+                live = live_ref[oi] > 0.0
+                v = win(dy, dx)
+                okv = jnp.logical_not(jnp.isnan(v))
+                take = jnp.where(live & okv, (cnt < K).astype(jnp.float32), 0.0)
+                code = dx.astype(jnp.float32) * code_base + dy.astype(jnp.float32)
+                nv, nc = [], []
+                for s in range(K):
+                    hit = (take > 0) & (cnt == s)
+                    nv.append(jnp.where(hit, v, vals[s]))
+                    nc.append(jnp.where(hit, code, codes[s]))
+                cnt = cnt + take
+                vals, codes = tuple(nv), tuple(nc)
+            return (c + 1, (cnt, vals, codes))
+
+        _, (cnt, vals, codes) = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), init)
+        )
+
+        # ---- decode offsets and build the kriging system as plane registers
+        nugget = par_ref[0]
+        sill = par_ref[1]
+        vrange = par_ref[2]
+        min_lon = par_ref[3]
+        min_lat = par_ref[4]
+        lon_step = par_ref[5]
+        lat_step = par_ref[6]
+        half = par_ref[7]
+        pivot_tol = par_ref[8]
+
+        # tile (i, j)'s first output cell is global (i*th, j*tw) in unpadded
+        # grid coordinates (the halo only shifts the slab reads, not out_ref)
+        col = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + (j * tw).astype(jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + (i * th).astype(jnp.float32)
+        qlon = min_lon + col * lon_step
+        qlat = min_lat + row * lat_step
+
+        cx, cy, vz = [], [], []
+        for s in range(K):
+            c_ = jnp.maximum(codes[s], 0.0)
+            dxs = jnp.floor(c_ / code_base) - radius
+            dys = c_ - (dxs + radius) * code_base - radius
+            cx.append(min_lon + (col + dxs + half) * lon_step)
+            cy.append(min_lat + (row + dys + half) * lat_step)
+            vz.append(jnp.where(cnt > s, vals[s], 0.0))
+
+        def gamma(h):
+            return nugget + sill * (1.0 - jnp.exp(-h / vrange))
+
+        one = jnp.ones((th, tw), jnp.float32)
+        M = [[None] * 6 for _ in range(5)]
+        for a in range(K):
+            for b in range(K):
+                if b < a:
+                    M[a][b] = M[b][a]
+                    continue
+                ddx = cx[a] - cx[b]
+                ddy = cy[a] - cy[b]
+                M[a][b] = gamma(jnp.sqrt(ddx * ddx + ddy * ddy))
+            M[a][4] = one
+            ddx = cx[a] - qlon
+            ddy = cy[a] - qlat
+            M[a][5] = gamma(jnp.sqrt(ddx * ddx + ddy * ddy))
+        M[4] = [one, one, one, one, zero, one]
+
+        singular = jnp.zeros((th, tw), bool)
+        for p_ in range(5):
+            pivot = M[p_][p_]
+            singular = singular | (jnp.abs(pivot) < pivot_tol)
+            safe = jnp.where(singular, 1.0, pivot)
+            for q in range(p_, 6):
+                M[p_][q] = M[p_][q] / safe
+            for r_ in range(5):
+                if r_ == p_:
+                    continue
+                f = M[r_][p_]
+                for q in range(p_, 6):
+                    M[r_][q] = M[r_][q] - f * M[p_][q]
+
+        pred = M[0][5] * vz[0] + M[1][5] * vz[1] + M[2][5] * vz[2] + M[3][5] * vz[3]
+        fbs = vz[0] + vz[1] + vz[2] + vz[3]
+        fb = jnp.where(cnt > 0, fbs / jnp.maximum(cnt, 1.0), jnp.nan)
+        out_ref[:] = jnp.where(singular | (cnt < K), fb, pred)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("max_radius", "tile", "convention"))
+def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(256, 256), convention: str = "reference", vparams=None):
+    """Fully-fused ordinary-kriging fill: window selection AND the batched
+    5x6 Gauss-Jordan run per tile in VMEM — one HBM read of the grid, one
+    write of the prediction plane."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..config import KrigingConfig
+
+    cfg = KrigingConfig()
+    if vparams is None:
+        vparams = (cfg.variogram.nugget, cfg.variogram.sill, cfg.variogram.range)
+    R = max_radius
+    th, tw = tile
+    H, W = grid.shape
+    sh, sw = _slab_shape(R, th, tw)
+    Hp = -(-H // th) * th
+    Wp = -(-W // tw) * tw
+    pad_b = (Hp - th + sh) - H - R
+    pad_r = (Wp - tw + sw) - W - R
+    nanp = jnp.pad(
+        jnp.where(grid.valid > 0.5, grid.elev, jnp.nan),
+        ((R, pad_b), (R, pad_r)), constant_values=jnp.nan,
+    )
+
+    dxs, dys, d2s, live, n_chunks = _padded_tables(R, convention)
+    dy_tab = jnp.asarray(dys + R, jnp.int32)
+    dx_tab = jnp.asarray(dxs + R, jnp.int32)
+    live_tab = jnp.asarray(live, jnp.float32)
+    half = 0.5 if convention == "reference" else 0.0
+    par = jnp.asarray(
+        [
+            vparams[0], vparams[1], vparams[2],
+            grid.min_lon, grid.min_lat, grid.lon_step, grid.lat_step,
+            half, cfg.pivot_tol,
+        ],
+        jnp.float32,
+    )
+
+    kernel = _make_kriging_fill_kernel(R, th, tw, n_chunks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Hp // th, Wp // tw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(_slab_shape(R, th, tw), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+        grid_spec=grid_spec,
+    )(dy_tab, dx_tab, live_tab, par, nanp)
+    return out[:H, :W]

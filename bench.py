@@ -74,12 +74,16 @@ def main():
     from auvtpu.ops import fill_kriging
     from auvtpu.pallas import pallas_available
 
-    backend = "pallas" if pallas_available() else "xla"
-    log(f"selection backend: {backend}")
+    use_pallas = pallas_available()
+    log(f"selection backend: {'pallas (fused selection + solve)' if use_pallas else 'xla'}")
+    if use_pallas:
+        from auvtpu.pallas import pallas_fill_kriging as _fill
+    else:
+        _fill = lambda g: fill_kriging(g, backend="xla")
 
     @jax.jit
     def step(grid, truth_d, mask_d):
-        plane = fill_kriging(grid, backend=backend)
+        plane = _fill(grid)
         ok = mask_d * (~jnp.isnan(plane)).astype(jnp.float32)
         d = jnp.where(ok > 0, truth_d - plane, 0.0)
         rmse = jnp.sqrt(jnp.sum(d * d) / n_pts)

@@ -93,3 +93,15 @@ def test_fill_kriging_pallas_backend_matches_xla(grid):
     assert (np.isnan(a) == np.isnan(b)).all()
     both = ~np.isnan(a)
     np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
+
+
+def test_pallas_fill_kriging_fused_matches_xla(grid):
+    from auvtpu.pallas import pallas_fill_kriging
+    from auvtpu.ops import fill_kriging
+
+    with _interp():
+        a = np.asarray(pallas_fill_kriging(grid, max_radius=5, tile=(32, 32)))
+    b = np.asarray(fill_kriging(grid, max_radius=5))
+    assert (np.isnan(a) == np.isnan(b)).all()
+    both = ~np.isnan(a)
+    np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
