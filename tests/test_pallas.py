@@ -105,3 +105,17 @@ def test_pallas_fill_kriging_fused_matches_xla(grid):
     assert (np.isnan(a) == np.isnan(b)).all()
     both = ~np.isnan(a)
     np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
+
+
+def test_pallas_fused_kriging_centered_matches_xla(grid):
+    from auvtpu.pallas import pallas_fill_kriging
+    from auvtpu.ops import fill_kriging
+
+    with _interp():
+        a = np.asarray(
+            pallas_fill_kriging(grid, max_radius=5, tile=(32, 32), convention="centered")
+        )
+    b = np.asarray(fill_kriging(grid, max_radius=5, convention="centered"))
+    assert (np.isnan(a) == np.isnan(b)).all()
+    both = ~np.isnan(a)
+    np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
