@@ -62,7 +62,7 @@ def main(argv=None):
     p.add_argument("--out-prefix", default=None, help="write per-point CSVs with this prefix")
     p.add_argument("--methods", nargs="*", default=["Bilinear", "Cubic", "Kriging", "IDW"])
     p.add_argument("--idw-k", type=int, default=8)
-    p.add_argument("--backend", choices=["xla", "pallas"], default="xla",
+    p.add_argument("--backend", choices=["xla", "pallas", "fused"], default="xla",
                    help="kriging selection backend (pallas: per-tile early exit)")
     p.add_argument(
         "--convention", choices=["reference", "centered"], default="reference",

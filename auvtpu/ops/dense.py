@@ -400,9 +400,16 @@ def kriging_at_cells(grid: RegularGrid, rows, cols, *, max_radius: int = 10, vpa
     whole-plane solve is cheaper than per-cell slot gathers (XLA's random
     take costs ~30 ns/element — 5 gathers at the cell list dominated the
     entire pipeline before this formulation)."""
-    plane = fill_kriging(
-        grid, max_radius=max_radius, vparams=vparams, convention=convention, backend=backend
-    )
+    if backend == "fused":
+        from ..pallas import pallas_fill_kriging
+
+        plane = pallas_fill_kriging(
+            grid, max_radius=max_radius, convention=convention, vparams=vparams
+        )
+    else:
+        plane = fill_kriging(
+            grid, max_radius=max_radius, vparams=vparams, convention=convention, backend=backend
+        )
     rows = jnp.asarray(rows, jnp.int32)
     cols = jnp.asarray(cols, jnp.int32)
     return jnp.take(plane.reshape(-1), rows * grid.num_lon + cols)
