@@ -280,3 +280,22 @@ def test_sinusoid_formula():
     g = sinusoid(3, 3)
     assert g[0, 0] == pytest.approx(-1000.0 - 15.0)
     assert g[1, 2] == pytest.approx(-1000.0 - 10.0 * np.sin(0.02) - 15.0 * np.cos(0.01))
+
+
+PUBLISHED_EPR = {  # results/EastPacific_runtimes_errors.csv
+    "bilinear": (14.4228, 24.8556, 305.667),
+    "cubic": (14.4862, 25.9785, 363.25),
+    "kriging": (11.1512, 19.4132, 453.267),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ["bilinear", "cubic", "kriging"])
+def test_published_east_pacific_errors(method):
+    g, qlon, qlat, vals = _grid_b_setup("east_pacific", 0.01)
+    pred = getattr(g, method)(qlon, qlat)
+    mae, rmse, mx = PUBLISHED_EPR[method]
+    m = metrics.all_reference_metrics(vals, pred)
+    assert m["MAE"] == pytest.approx(mae, abs=5e-5)
+    assert m["RMSE"] == pytest.approx(rmse, abs=5e-5)
+    assert m["MaxError"] == pytest.approx(mx, abs=5e-3)
