@@ -41,10 +41,10 @@ def fast_take(plane: jax.Array, flat_idx: jax.Array) -> jax.Array:
     rows = flat_idx // _LANES
     lanes = flat_idx % _LANES
     rd = jnp.take(pr, rows, axis=0)  # (N, 128) block fetch
-    oh = (
-        lanes[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-    ).astype(plane.dtype)
-    return jnp.sum(rd * oh, axis=1).reshape(shape)
+    oh = lanes[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    # select-then-sum, NOT sum(rd * onehot): the plane may carry NaN (packed
+    # validity), and 0 * NaN = NaN would poison every block containing one
+    return jnp.sum(jnp.where(oh, rd, 0.0), axis=1).reshape(shape)
 
 
 def nan_plane(grid: RegularGrid) -> jax.Array:

@@ -1,0 +1,110 @@
+"""Two-tier scattered interpolation: packed fast path + rare escalation.
+
+SURVEY.md §7 'Hard parts' flags the divergence risk of making every query pay
+the full 441-cell window.  The production answer: a radius-2 stencil pack
+resolves k nearest valid neighbors for ~every query at one gather each; the
+rare queries whose 5x5 window holds fewer than k valid cells (probability
+~f^20 at removal f) are collected host-side, padded to a fixed shape, and
+re-run through the radius-10 window op — two compiled programs and a single
+host sync per batch, instead of a 441-wide gather for everyone.
+
+Exact v2 semantics: a query is 'resolved' when its k-th selected neighbor is
+strictly closer than the nearest conceivable cell outside the 5x5 window
+(see _outside_min_d2) — then the radius-2 and radius-10 selections provably
+coincide.  Everything else escalates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..grid import RegularGrid
+from .packs import StencilPack, packed_idw, packed_kriging, packed_window_select
+from .scattered import scattered_idw, scattered_kriging
+
+
+class TwoTierInterpolator:
+    """Reusable scattered-query engine over a (possibly masked) grid."""
+
+    def __init__(self, grid: RegularGrid, *, convention: str = "reference", escalate_cap: int = 1 << 14):
+        self.grid = grid
+        self.convention = convention
+        self.pack = StencilPack(grid, window_radius=2)
+        self.escalate_cap = escalate_cap
+
+    def _outside_min_d2(self):
+        """Infimum of the squared distance from ANY query position inside the
+        center cell (fractional offset f in [-0.5, 0.5]^2) to any cell OUTSIDE
+        the radius-2 window.  Per-axis lower bound for candidate offset d:
+        reference convention |d + 0.5 - f| >= max(0, |d + 0.5| - 0.5);
+        centered |d - f| >= max(0, |d| - 0.5).  A radius-3 edge cell can come
+        as close as d^2 = 4.0 (reference) / 6.25 (centered)."""
+        from .dense import sorted_offsets
+
+        dxs, dys, _ = sorted_offsets(10, self.convention)
+        outside = (np.abs(dxs) > 2) | (np.abs(dys) > 2)
+        half = 0.5 if self.convention == "reference" else 0.0
+
+        def lb(d):
+            return np.maximum(0.0, np.abs(d + half) - 0.5)
+
+        lo2 = lb(dxs[outside].astype(np.float64)) ** 2 + lb(dys[outside].astype(np.float64)) ** 2
+        return float(lo2.min())
+
+    def _resolved_mask(self, lons, lats, k):
+        sel = packed_window_select(
+            self.pack.window, self.grid, lons, lats, k=k,
+            window_radius=2, convention=self.convention,
+        )
+        # resolved iff k candidates were found AND the k-th is at least as
+        # close as the nearest conceivable outside-window cell (ties resolve
+        # to the inside cell: collection order sorts smaller rings first)
+        return (sel["found"] >= k) & (sel["d2"][:, k - 1] < self._outside_min_d2())
+
+    def _run(self, fast_fn, slow_fn, lons, lats, k):
+        lons = jnp.asarray(lons, self.grid.dtype)
+        lats = jnp.asarray(lats, self.grid.dtype)
+        fast = fast_fn(lons, lats)
+        ok = np.asarray(self._resolved_mask(lons, lats, k))  # one host sync
+        n_bad = int((~ok).sum())
+        if n_bad == 0:
+            return fast
+        # escalate the unresolved queries in fixed-size padded batches
+        idx = np.nonzero(~ok)[0]
+        out = np.array(fast)  # writable copy
+        cap = self.escalate_cap
+        for s in range(0, n_bad, cap):
+            chunk = idx[s : s + cap]
+            pad = cap - len(chunk)
+            ci = np.concatenate([chunk, np.zeros(pad, np.int64)]) if pad else chunk
+            lo = jnp.asarray(np.asarray(lons)[ci])
+            la = jnp.asarray(np.asarray(lats)[ci])
+            slow = np.asarray(slow_fn(lo, la))
+            out[chunk] = slow[: len(chunk)]
+        return jnp.asarray(out)
+
+    def kriging(self, lons, lats):
+        return self._run(
+            lambda lo, la: packed_kriging(
+                self.pack.window, self.grid, lo, la,
+                window_radius=2, convention=self.convention,
+            ),
+            lambda lo, la: scattered_kriging(
+                self.grid, lo, la, max_radius=10, convention=self.convention
+            ),
+            lons, lats, k=4,
+        )
+
+    def idw(self, lons, lats, k: int = 8):
+        return self._run(
+            lambda lo, la: packed_idw(
+                self.pack.window, self.grid, lo, la, k=k,
+                window_radius=2, convention=self.convention,
+            ),
+            lambda lo, la: scattered_idw(
+                self.grid, lo, la, k=k, max_radius=10, convention=self.convention
+            ),
+            lons, lats, k=k,
+        )

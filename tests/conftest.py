@@ -19,6 +19,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# separate compile cache: entries written via the axon compile helper carry
+# CPU machine features this host lacks (SIGILL risk when reloaded)
+import pathlib
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache_cpu"),
+)
 assert not jax._src.xla_bridge.backends_are_initialized(), (
     "JAX backend initialized before tests/conftest.py could select CPU"
 )

@@ -96,3 +96,25 @@ def test_packed_idw_matches_scattered(masked):
     assert (np.isnan(a) == np.isnan(b)).all()
     both = ~np.isnan(a)
     np.testing.assert_allclose(a[both], b[both], rtol=1e-5, atol=1e-2)
+
+
+def test_two_tier_matches_full_window():
+    from auvtpu.ops.two_tier import TwoTierInterpolator
+
+    # heavy removal so some queries genuinely escalate past radius 2
+    elev = shelf_seamount(H, W)
+    elev, _, _ = mask_grid(elev, 0.6, seed=31)
+    grid = RegularGrid.from_nan_array(elev, EXT)
+    tt = TwoTierInterpolator(grid, escalate_cap=64)
+    r = np.random.RandomState(9)
+    lons = r.uniform(1e-6, W - 1 - 1e-6, 500).astype(np.float32)
+    lats = r.uniform(1e-6, H - 1 - 1e-6, 500).astype(np.float32)
+    got_k = np.asarray(tt.kriging(lons, lats))
+    want_k = np.asarray(scattered_kriging(grid, lons, lats, max_radius=10))
+    assert (np.isnan(got_k) == np.isnan(want_k)).all()
+    both = ~np.isnan(got_k)
+    np.testing.assert_allclose(got_k[both], want_k[both], rtol=1e-4, atol=0.1)
+    got_i = np.asarray(tt.idw(lons, lats, k=8))
+    want_i = np.asarray(scattered_idw(grid, lons, lats, k=8, max_radius=10))
+    both = ~np.isnan(got_i) & ~np.isnan(want_i)
+    np.testing.assert_allclose(got_i[both], want_i[both], rtol=1e-4, atol=0.05)
