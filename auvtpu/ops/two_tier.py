@@ -54,23 +54,33 @@ class TwoTierInterpolator:
         return float(lo2.min())
 
     def _resolved_mask(self, lons, lats, k):
-        sel = packed_window_select(
-            self.pack.window, self.grid, lons, lats, k=k,
-            window_radius=2, convention=self.convention,
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("k", "conv", "thresh"))
+        def _mask(pack, grid, lons, lats, *, k, conv, thresh):
+            sel = packed_window_select(
+                pack, grid, lons, lats, k=k, window_radius=2, convention=conv
+            )
+            # resolved iff k candidates were found AND the k-th beats the
+            # nearest conceivable outside-window cell (ties resolve to the
+            # inside cell: collection order sorts smaller rings first)
+            m = (sel["found"] >= k) & (sel["d2"][:, k - 1] < thresh)
+            return m, jnp.sum(~m)
+
+        return _mask(
+            self.pack.window, self.grid, lons, lats,
+            k=k, conv=self.convention, thresh=self._outside_min_d2(),
         )
-        # resolved iff k candidates were found AND the k-th is at least as
-        # close as the nearest conceivable outside-window cell (ties resolve
-        # to the inside cell: collection order sorts smaller rings first)
-        return (sel["found"] >= k) & (sel["d2"][:, k - 1] < self._outside_min_d2())
 
     def _run(self, fast_fn, slow_fn, lons, lats, k):
         lons = jnp.asarray(lons, self.grid.dtype)
         lats = jnp.asarray(lats, self.grid.dtype)
         fast = fast_fn(lons, lats)
-        ok = np.asarray(self._resolved_mask(lons, lats, k))  # one host sync
-        n_bad = int((~ok).sum())
+        mask, bad_count = self._resolved_mask(lons, lats, k)
+        n_bad = int(bad_count)  # scalar host sync: common case stops here
         if n_bad == 0:
             return fast
+        ok = np.asarray(mask)
         # escalate the unresolved queries in fixed-size padded batches
         idx = np.nonzero(~ok)[0]
         out = np.array(fast)  # writable copy
