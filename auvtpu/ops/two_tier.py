@@ -16,6 +16,8 @@ coincide.  Everything else escalates.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -23,6 +25,18 @@ import jax.numpy as jnp
 from ..grid import RegularGrid
 from .packs import StencilPack, packed_idw, packed_kriging, packed_window_select
 from .scattered import scattered_idw, scattered_kriging
+
+
+@partial(jax.jit, static_argnames=("k", "conv", "thresh"))
+def _resolved_mask_jit(pack, grid, lons, lats, *, k, conv, thresh):
+    sel = packed_window_select(
+        pack, grid, lons, lats, k=k, window_radius=2, convention=conv
+    )
+    # resolved iff k candidates were found AND the k-th beats the nearest
+    # conceivable outside-window cell (ties resolve to the inside cell:
+    # collection order sorts smaller rings first)
+    m = (sel["found"] >= k) & (sel["d2"][:, k - 1] < thresh)
+    return m, jnp.sum(~m)
 
 
 class TwoTierInterpolator:
@@ -54,20 +68,7 @@ class TwoTierInterpolator:
         return float(lo2.min())
 
     def _resolved_mask(self, lons, lats, k):
-        import functools
-
-        @functools.partial(jax.jit, static_argnames=("k", "conv", "thresh"))
-        def _mask(pack, grid, lons, lats, *, k, conv, thresh):
-            sel = packed_window_select(
-                pack, grid, lons, lats, k=k, window_radius=2, convention=conv
-            )
-            # resolved iff k candidates were found AND the k-th beats the
-            # nearest conceivable outside-window cell (ties resolve to the
-            # inside cell: collection order sorts smaller rings first)
-            m = (sel["found"] >= k) & (sel["d2"][:, k - 1] < thresh)
-            return m, jnp.sum(~m)
-
-        return _mask(
+        return _resolved_mask_jit(
             self.pack.window, self.grid, lons, lats,
             k=k, conv=self.convention, thresh=self._outside_min_d2(),
         )
@@ -77,23 +78,20 @@ class TwoTierInterpolator:
         lats = jnp.asarray(lats, self.grid.dtype)
         fast = fast_fn(lons, lats)
         mask, bad_count = self._resolved_mask(lons, lats, k)
-        n_bad = int(bad_count)  # scalar host sync: common case stops here
+        n_bad = int(bad_count)  # the ONLY host sync (a scalar)
         if n_bad == 0:
             return fast
-        ok = np.asarray(mask)
-        # escalate the unresolved queries in fixed-size padded batches
-        idx = np.nonzero(~ok)[0]
-        out = np.array(fast)  # writable copy
-        cap = self.escalate_cap
-        for s in range(0, n_bad, cap):
-            chunk = idx[s : s + cap]
-            pad = cap - len(chunk)
-            ci = np.concatenate([chunk, np.zeros(pad, np.int64)]) if pad else chunk
-            lo = jnp.asarray(np.asarray(lons)[ci])
-            la = jnp.asarray(np.asarray(lats)[ci])
-            slow = np.asarray(slow_fn(lo, la))
-            out[chunk] = slow[: len(chunk)]
-        return jnp.asarray(out)
+        # escalation stays fully on device: a size-padded nonzero finds the
+        # unresolved indices (padded with index 0 — harmless: a resolved
+        # query's radius-10 value provably equals its fast value, so the
+        # duplicate scatter is a no-op), the slow path recomputes them, and
+        # a scatter merges.  Pad sizes snap to powers of two to bound the
+        # number of compiled shapes.
+        pad_n = max(64, 1 << (n_bad - 1).bit_length())
+        pad_n = min(pad_n, mask.shape[0])
+        idx = jnp.nonzero(~mask, size=pad_n, fill_value=0)[0]
+        slow = slow_fn(jnp.take(lons, idx), jnp.take(lats, idx))
+        return fast.at[idx].set(slow)
 
     def kriging(self, lons, lats):
         return self._run(
