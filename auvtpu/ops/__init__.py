@@ -39,6 +39,7 @@ from .dense import (
 )
 from .window import window_select, ring_tables
 from .batch import apply_chunked
+from .two_tier import TwoTierInterpolator
 from .gathers import fast_take
 
 __all__ = [
@@ -58,5 +59,6 @@ __all__ = [
     "window_select",
     "ring_tables",
     "apply_chunked",
+    "TwoTierInterpolator",
     "fast_take",
 ]
