@@ -162,7 +162,7 @@ def _make_fill_kernel(kind: str, k: int, power: float, radius: int, th: int, tw:
     jax.jit,
     static_argnames=("kind", "k", "power", "max_radius", "tile"),
 )
-def _pallas_fill(grid: RegularGrid, *, kind: str, k: int, power: float, max_radius: int, tile=(256, 256)):
+def _pallas_fill(grid: RegularGrid, *, kind: str, k: int, power: float, max_radius: int, tile=(32, 128)):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -209,12 +209,12 @@ def _pallas_fill(grid: RegularGrid, *, kind: str, k: int, power: float, max_radi
     return out[:H, :W]
 
 
-def pallas_fill_idw(grid: RegularGrid, *, k: int = 8, power: float = 2.0, max_radius: int = 10, tile=(256, 256)):
+def pallas_fill_idw(grid: RegularGrid, *, k: int = 8, power: float = 2.0, max_radius: int = 10, tile=(32, 128)):
     """Pallas twin of ops.dense.fill_idw."""
     return _pallas_fill(grid, kind="idw", k=k, power=power, max_radius=max_radius, tile=tile)
 
 
-def pallas_fill_mean(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(256, 256)):
+def pallas_fill_mean(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(32, 128)):
     """Pallas twin of ops.dense.fill_window_mean."""
     return _pallas_fill(grid, kind="mean", k=k, power=0.0, max_radius=max_radius, tile=tile)
 
@@ -275,7 +275,7 @@ def _make_topk_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int):
 
 
 @partial(jax.jit, static_argnames=("k", "max_radius", "tile"))
-def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(256, 256)):
+def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(32, 128)):
     """Pallas twin of ops.dense.window_topk_idx: (cnt, [idx planes])."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -383,7 +383,7 @@ def _make_topk_full_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int)
 
 
 @partial(jax.jit, static_argnames=("k", "max_radius", "tile", "convention"))
-def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(256, 256), convention: str = "reference"):
+def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(32, 128), convention: str = "reference"):
     """Value-carrying first-k-valid selection: returns (cnt, vals list,
     dxs list, dys list) planes — a drop-in for ops.dense.window_topk_planes
     with per-tile early exit."""
@@ -573,7 +573,7 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int):
 
 
 @partial(jax.jit, static_argnames=("max_radius", "tile", "convention"))
-def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(256, 256), convention: str = "reference", vparams=None):
+def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 128), convention: str = "reference", vparams=None):
     """Fully-fused ordinary-kriging fill: window selection AND the batched
     5x6 Gauss-Jordan run per tile in VMEM — one HBM read of the grid, one
     write of the prediction plane."""
