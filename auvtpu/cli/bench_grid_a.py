@@ -84,7 +84,7 @@ def main(argv=None):
     from ..golden.v2 import GoldenV2
 
     golden_v2 = GoldenV2(elev, ext.min_lon, ext.max_lon, ext.min_lat, ext.max_lat)
-    results = ResultsWriter(args.results)
+    results = ResultsWriter(args.results, with_region=True, with_cold=True)
 
     # fully-valid grid: cubic can statically skip the fallback window
     from ..ops import apply_chunked
@@ -154,7 +154,10 @@ def main(argv=None):
                 f"[A n={n:>9}] {method:8s} end-to-end {cold_ms:8.1f} ms   "
                 f"steady {warm_ms:8.2f} ms  ({n/warm_ms*1e3/1e6:7.2f} M pts/s)"
             )
-            results.append(args.machine, method, "A", n, warm_ms, None, None, None, None)
+            results.append(
+                args.machine, method, "A", n, warm_ms, None, None, None, None,
+                region="grid_a", cold_ms=cold_ms,
+            )
 
             if args.validate and goldens[method] is not None and n <= 1_000_000:
                 m = min(VALIDATION_POINTS, n)

@@ -70,7 +70,23 @@ def main(argv=None):
         "study's asymmetric +0.5 metric; 'centered' is the corrected "
         "symmetric metric (3-4x lower error; docs/SEMANTICS.md)",
     )
+    p.add_argument(
+        "--selection", choices=["v2", "exact"], default="v2",
+        help="neighbor selection: 'v2' = true-k-nearest dense ops; 'exact' = "
+        "bit-exact reference selection on device (ring-segment cutoff + "
+        "swap tie-breaks, GridH.cpp:24-140) — reproduces the published error "
+        "tables from chip runs (enables f64 for the kriging solve)",
+    )
     args = p.parse_args(argv)
+
+    import jax
+
+    if args.selection == "exact":
+        # the 5x5 kriging solve needs f64 for published-table parity (an f32
+        # Gauss-Jordan shifts MAE by ~2e-3 m); selection itself is f32-exact
+        jax.config.update("jax_enable_x64", True)
+        if args.convention != "reference":
+            p.error("--selection exact implies --convention reference")
 
     import jax.numpy as jnp
 
@@ -90,24 +106,40 @@ def main(argv=None):
     n_pts = len(truth)
     log(f"masked grid {reduced.shape[1]} x {reduced.shape[0]}, {n_pts} held-out points")
 
-    grid = RegularGrid.from_nan_array(reduced, ext)
+    dtype = jnp.float64 if args.selection == "exact" else jnp.float32
+    grid = RegularGrid.from_nan_array(reduced, ext, dtype=dtype)
     rows = jnp.asarray(rc[:, 0], jnp.int32)
     cols = jnp.asarray(rc[:, 1], jnp.int32)
-    results = ResultsWriter(args.results, with_region=True)
+    results = ResultsWriter(args.results, with_region=True, with_cold=True)
 
     def at_cells(plane):
         return jnp.take(plane.reshape(-1), rows * grid.num_lon + cols)
 
     conv = args.convention
     machine = args.machine if conv == "reference" else f"{args.machine}-centered"
-    ops = {
-        "Bilinear": lambda: at_cells(fill_bilinear(grid)),
-        "Cubic": lambda: at_cells(fill_window_mean(grid, k=4, convention=conv)),
-        "Kriging": lambda: kriging_at_cells(
-            grid, rows, cols, convention=conv, backend=args.backend
-        ),
-        "IDW": lambda: at_cells(fill_idw(grid, k=args.idw_k, convention=conv)),
-    }
+    if args.selection == "exact":
+        from ..ops import (
+            exact_bilinear_at_cells,
+            exact_cubic_at_cells,
+            exact_kriging_at_cells,
+        )
+
+        machine = f"{args.machine}-exact"
+        ops = {
+            "Bilinear": lambda: exact_bilinear_at_cells(grid, rc[:, 0], rc[:, 1]),
+            "Cubic": lambda: exact_cubic_at_cells(grid, rc[:, 0], rc[:, 1]),
+            "Kriging": lambda: exact_kriging_at_cells(grid, rc[:, 0], rc[:, 1]),
+        }
+        args.methods = [m for m in args.methods if m in ops]
+    else:
+        ops = {
+            "Bilinear": lambda: at_cells(fill_bilinear(grid)),
+            "Cubic": lambda: at_cells(fill_window_mean(grid, k=4, convention=conv)),
+            "Kriging": lambda: kriging_at_cells(
+                grid, rows, cols, convention=conv, backend=args.backend
+            ),
+            "IDW": lambda: at_cells(fill_idw(grid, k=args.idw_k, convention=conv)),
+        }
 
     for method in args.methods:
         fn = ops[method]
@@ -124,6 +156,7 @@ def main(argv=None):
         results.append(
             machine, method, "B", n_pts, warm_ms, args.removal,
             m["MAE"], m["RMSE"], m["MaxError"], region=region_name,
+            cold_ms=cold_ms,
         )
         if args.out_prefix:
             qlon, qlat = grid.index_to_lonlat(rc[:, 0], rc[:, 1])

@@ -89,12 +89,74 @@ def fig_accuracy(grid_b_csv: str, out: str):
     plt.close(fig)
 
 
-def fig_coverage(grid_b_csv: str, out: str):
-    # the schema has no coverage column; recompute hole fraction analytically:
-    # a bilinear hole needs all 4 corners masked -> expected coverage
-    # 1 - f^3 (given center masked, other three corners masked) — instead plot
-    # measured coverage if a Coverage column exists, else skip.
-    return
+def fig_coverage(
+    out_png: str,
+    out_csv: str,
+    region: str = "mid_atlantic",
+    gebco_root: str = "/root/reference/GEBCO-Data",
+    removals=(0.01, 0.05, 0.10, 0.15, 0.20, 0.30, 0.50),
+):
+    """Paper Fig. 10 reproduction: bilinear hole growth vs removal fraction.
+
+    The reference's bilinear has no NaN fallback, so a masked cell whose three
+    other corners are also masked stays a hole; the paper observes holes
+    roughly doubling from removal 0.05 to 0.10 (graph_results.ipynb cells
+    32-70).  We sweep the removal fraction on a real tile, measure the hole
+    fraction among masked cells for bilinear (and the always-1.0 coverage of
+    the fallback methods), and overlay the analytic expectation f^3 (given
+    the center masked, all three remaining corners masked independently).
+    """
+    import jax
+
+    jax.config.update("jax_platforms", jax.config.jax_platforms or "cpu")
+    from ..grid import RegularGrid
+    from ..masking import mask_grid
+    from ..metrics import coverage
+    from ..ops import fill_bilinear, fill_window_mean
+    from .bench_grid_b import load_region
+
+    elev, ext = load_region(region, gebco_root)
+    rows = []
+    for f in removals:
+        reduced, rc, truth = mask_grid(elev, f)
+        grid = RegularGrid.from_nan_array(reduced, ext)
+
+        def at_cells(plane):
+            return np.asarray(plane)[rc[:, 0], rc[:, 1]]
+
+        pb = at_cells(fill_bilinear(grid))
+        pc = at_cells(fill_window_mean(grid, k=4))
+        rows.append(
+            dict(
+                removal=f,
+                masked_pts=len(truth),
+                bilinear_coverage=float(coverage(pb)),
+                bilinear_holes=int(np.isnan(pb).sum()),
+                cubic_fallback_coverage=float(coverage(pc)),
+                analytic_hole_fraction=f**3,
+            )
+        )
+    df = pd.DataFrame(rows)
+    df.to_csv(out_csv, index=False)
+
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 6), dpi=120)
+    ax.plot(df["removal"], 1.0 - df["bilinear_coverage"], "-o", linewidth=2,
+            label="bilinear hole fraction (measured)")
+    ax.plot(df["removal"], df["analytic_hole_fraction"], "--", alpha=0.7,
+            label=r"analytic $f^3$ (3 remaining corners masked)")
+    ax.plot(df["removal"], 1.0 - df["cubic_fallback_coverage"], "-s", linewidth=2,
+            label="cubic/kriging fallback (no holes)")
+    ax.set_xlabel("removal fraction")
+    ax.set_ylabel("hole fraction among masked cells")
+    ax.set_yscale("symlog", linthresh=1e-5)
+    ax.set_title(f"Bilinear hole growth vs removal fraction ({region}; paper Fig. 10)")
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_png)
+    plt.close(fig)
+    return df
 
 
 def main(argv=None):
@@ -102,6 +164,9 @@ def main(argv=None):
     p.add_argument("--grid-a", default="results/TestingResults_gridA.csv")
     p.add_argument("--grid-b", default="results/TestingResults_gridB.csv")
     p.add_argument("--out-dir", default="results/plots")
+    p.add_argument("--coverage-region", default="mid_atlantic",
+                   help="tile for the Fig. 10 hole-growth sweep ('' to skip)")
+    p.add_argument("--gebco-root", default="/root/reference/GEBCO-Data")
     args = p.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
     if os.path.exists(args.grid_a):
@@ -110,6 +175,14 @@ def main(argv=None):
     if os.path.exists(args.grid_b):
         fig_accuracy(args.grid_b, os.path.join(args.out_dir, "grid_b_accuracy.png"))
         print("wrote grid_b_accuracy.png")
+    if args.coverage_region:
+        fig_coverage(
+            os.path.join(args.out_dir, "bilinear_hole_growth.png"),
+            os.path.join(args.out_dir, "bilinear_hole_growth.csv"),
+            region=args.coverage_region,
+            gebco_root=args.gebco_root,
+        )
+        print("wrote bilinear_hole_growth.{png,csv}")
 
 
 if __name__ == "__main__":

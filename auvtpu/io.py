@@ -119,14 +119,28 @@ def read_reference_missing(path: str):
 # --------------------------------------------------------------------------
 
 class ResultsWriter:
-    """Append-only results log, schema-identical to TestingResults1.csv plus an
-    optional Region column the notebooks wished they had (performance_results
-    cell 14 calls the manual row-range attribution 'very bad')."""
+    """Append-only results log, schema-identical to TestingResults1.csv plus
+    optional extra columns appended after the reference 9:
 
-    def __init__(self, path: str, with_region: bool = False):
+    - Region: the notebooks wished they had it (performance_results cell 14
+      calls the manual row-range attribution 'very bad');
+    - EndToEndTime: the reference's Time column includes per-batch H2D/D2H
+      staging (GridD.cu:107-147 inside the timed region).  On TPU the honest
+      equivalents split: ``Time`` records steady-state device throughput
+      (queued dispatches, one sync) and ``EndToEndTime`` records one cold-ish
+      call including input staging and result readback — the
+      reference-comparable number.
+    """
+
+    def __init__(self, path: str, with_region: bool = False, with_cold: bool = False):
         self.path = path
         self.with_region = with_region
-        header = ",".join(RESULTS_SCHEMA + (("Region",) if with_region else ()))
+        self.with_cold = with_cold
+        header = ",".join(
+            RESULTS_SCHEMA
+            + (("Region",) if with_region else ())
+            + (("EndToEndTime",) if with_cold else ())
+        )
         if not os.path.exists(path) or os.path.getsize(path) == 0:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             with open(path, "w") as f:
@@ -144,6 +158,7 @@ class ResultsWriter:
         rmse,
         max_error,
         region: str = "",
+        cold_ms=None,
     ) -> None:
         def fmt(v):
             if v is None:
@@ -165,5 +180,7 @@ class ResultsWriter:
         ]
         if self.with_region:
             row.append(region)
+        if self.with_cold:
+            row.append(fmt(cold_ms))
         with open(self.path, "a") as f:
             f.write(",".join(row) + "\n")

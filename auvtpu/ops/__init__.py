@@ -18,6 +18,10 @@ convention (cell centers at +0.5), but select the true k nearest by
 search-order-free, and strictly no-worse interpolation.  Bit-exact reference
 behavior lives in :mod:`auvtpu.golden`; the numpy twin of the v2 semantics
 lives in :mod:`auvtpu.golden.v2` and is what these ops are tested against.
+
+Bit-exact reference selection ON DEVICE (ring-segment cutoff + swap-order
+tie-breaks, for published-table parity from chip runs) lives in
+:mod:`auvtpu.ops.exact` (``--selection exact`` in the Grid B CLI).
 """
 
 from .scattered import (
@@ -36,6 +40,13 @@ from .dense import (
     window_topk_planes,
     upsample2x_bilinear,
     upsample2x_bicubic,
+)
+from .exact import (
+    exact_bilinear_at_cells,
+    exact_cubic_at_cells,
+    exact_kriging_at_cells,
+    exact_select_at_cells,
+    prepare_exact_queries,
 )
 from .window import window_select, ring_tables
 from .batch import apply_chunked
@@ -56,6 +67,11 @@ __all__ = [
     "fill_idw",
     "upsample2x_bilinear",
     "upsample2x_bicubic",
+    "exact_bilinear_at_cells",
+    "exact_cubic_at_cells",
+    "exact_kriging_at_cells",
+    "exact_select_at_cells",
+    "prepare_exact_queries",
     "window_select",
     "ring_tables",
     "apply_chunked",

@@ -84,14 +84,23 @@ class TwoTierInterpolator:
         # escalation stays fully on device: a size-padded nonzero finds the
         # unresolved indices (padded with index 0 — harmless: a resolved
         # query's radius-10 value provably equals its fast value, so the
-        # duplicate scatter is a no-op), the slow path recomputes them, and
-        # a scatter merges.  Pad sizes snap to powers of two to bound the
-        # number of compiled shapes.
+        # duplicate scatter is a no-op), the slow path recomputes them in
+        # chunks of at most ``escalate_cap`` queries, and scatters merge.
+        # The cap bounds the escalated intermediates ((chunk, 441) candidate
+        # tensors) regardless of batch size; pad/chunk counts snap to powers
+        # of two to bound the number of compiled shapes.
+        cap = max(64, int(self.escalate_cap))
         pad_n = max(64, 1 << (n_bad - 1).bit_length())
-        pad_n = min(pad_n, mask.shape[0])
-        idx = jnp.nonzero(~mask, size=pad_n, fill_value=0)[0]
-        slow = slow_fn(jnp.take(lons, idx), jnp.take(lats, idx))
-        return fast.at[idx].set(slow)
+        pad_n = min(pad_n, mask.shape[0], cap)
+        n_chunks = -(-n_bad // pad_n)
+        n_chunks_p = 1 << (n_chunks - 1).bit_length()
+        idx = jnp.nonzero(~mask, size=n_chunks_p * pad_n, fill_value=0)[0]
+        out = fast
+        for c in range(n_chunks):
+            sl = jax.lax.dynamic_slice_in_dim(idx, c * pad_n, pad_n)
+            slow = slow_fn(jnp.take(lons, sl), jnp.take(lats, sl))
+            out = out.at[sl].set(slow)
+        return out
 
     def kriging(self, lons, lats):
         return self._run(

@@ -437,8 +437,10 @@ def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, til
     dxs_o, dys_o = [], []
     for s in range(k):
         code = out[1 + k + s, :H, :W]
-        # empty slots carry code -1 -> decode to harmless (dx,dy) ~ 0; cnt
-        # masks them downstream
+        # empty slots carry code -1; max(code, 0) decodes them to
+        # (dx, dy) = (-R, -R), NOT (0, 0).  This is safe only because every
+        # consumer masks slots >= cnt (the kriging path falls back to the
+        # mean when cnt < 4) — any new caller must preserve that invariant.
         c = jnp.maximum(code, 0.0)
         dx = jnp.floor(c / code_base) - R
         dy = c - (dx + R) * code_base - R

@@ -32,15 +32,20 @@ from .ops import fill_idw, fill_window_mean, kriging_at_cells, fill_kriging
 
 @partial(jax.jit, donate_argnums=(0, 1))
 def _ingest(elev, valid, rows, cols, vals, live):
-    """Scatter a (padded) swath into the mosaic planes, in place."""
+    """Scatter a (padded) swath into the mosaic planes, in place.
+
+    Dead (pad) lanes are routed to a true scrap index one past the end of the
+    flat plane and dropped by the scatter (mode='drop'), so they can never
+    clobber a live observation at any real cell — .at[].set with duplicate
+    indices has undefined order, and a pad lane aimed at cell 0 could
+    silently overwrite a genuine observation landing there in the same chunk.
+    """
     W = elev.shape[1]
+    n = elev.size
     flat = rows * W + cols
-    # dead lanes all target cell 0 with a no-op update of its current value
-    cur0 = elev.reshape(-1)[0]
-    v = jnp.where(live, vals, cur0)
-    f = jnp.where(live, flat, 0)
-    ev = elev.reshape(-1).at[f].set(v).reshape(elev.shape)
-    ok = valid.reshape(-1).at[f].max(jnp.where(live, 1.0, valid.reshape(-1)[0]))
+    f = jnp.where(live, flat, n)  # scrap index, dropped below
+    ev = elev.reshape(-1).at[f].set(vals, mode="drop").reshape(elev.shape)
+    ok = valid.reshape(-1).at[f].max(live.astype(valid.dtype), mode="drop")
     return ev, ok.reshape(valid.shape)
 
 

@@ -37,10 +37,16 @@ def load_workload():
     from auvtpu.masking import mask_grid
     from auvtpu.synthetic import kerguelen_standin
 
-    cache = os.path.join(os.path.dirname(__file__) or ".", "data_local", "kerguelen_bench.npz")
+    # cache keyed on the workload parameters so a SHAPE/REMOVAL/generator
+    # change can never silently reuse a stale workload
+    cache = os.path.join(
+        os.path.dirname(__file__) or ".", "data_local",
+        f"kerguelen_bench_{SHAPE[0]}x{SHAPE[1]}_r{REMOVAL}_v1.npz",
+    )
     if os.path.exists(cache):
         d = np.load(cache)
-        return d["reduced"], d["rc"], d["truth"]
+        if d["reduced"].shape == SHAPE and len(d["truth"]) == int(np.isnan(d["reduced"]).sum()):
+            return d["reduced"], d["rc"], d["truth"]
     elev = kerguelen_standin(SHAPE)
     reduced, rc, truth = mask_grid(elev, REMOVAL)
     os.makedirs(os.path.dirname(cache), exist_ok=True)

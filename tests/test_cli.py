@@ -104,3 +104,53 @@ def test_plots_cli(tmp_path):
     ])
     pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
     assert len(pngs) == 4
+
+
+def test_figures_cli(tmp_path):
+    """figures.py executes end-to-end, including the Fig. 10 hole-growth
+    sweep (regression: fig_coverage was an empty stub in round 1)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from auvtpu.cli.figures import fig_coverage, main
+
+    png = str(tmp_path / "holes.png")
+    csv = str(tmp_path / "holes.csv")
+    # high removals: at f=0.05 the expected hole count on the small
+    # Mid-Atlantic tile is < 1 (f^3 * 6.5k masked cells), so the growth
+    # assertion needs fractions where holes are statistically certain
+    df = fig_coverage(png, csv, region="mid_atlantic", removals=(0.2, 0.5))
+    assert os.path.exists(png) and os.path.exists(csv)
+    assert len(df) == 2
+    # the paper's qualitative finding: holes grow superlinearly with removal
+    h = (1.0 - df["bilinear_coverage"]).to_numpy()
+    assert h[1] > 1.5 * h[0] > 0
+    # fallback methods leave no holes
+    assert (df["cubic_fallback_coverage"] == 1.0).all()
+
+    # main() with the runtime/accuracy figures on a tiny results CSV
+    a_csv = str(tmp_path / "a.csv")
+    pd.DataFrame(
+        {
+            "Machine": ["TPU"] * 2,
+            "InterpolationType": ["Bilinear", "Kriging"],
+            "GridType": ["A", "A"],
+            "BatchSize": [1000, 1000],
+            "Time": [1.0, 2.0],
+            "RemovalFraction": [np.nan] * 2,
+            "MAE": [np.nan] * 2,
+            "RMSE": [np.nan] * 2,
+            "Max Error": [np.nan] * 2,
+        }
+    ).to_csv(a_csv, index=False)
+    main(["--grid-a", a_csv, "--grid-b", str(tmp_path / "none.csv"),
+          "--out-dir", str(tmp_path / "plots"), "--coverage-region", ""])
+    assert os.path.exists(str(tmp_path / "plots" / "grid_a_runtimes.png"))
+
+
+def test_prototype_cli(capsys):
+    from auvtpu.cli.prototype import main
+
+    main(["--region", "mid_atlantic", "--subset", "0.02", "--methods", "idw", "--k", "8"])
+    out = capsys.readouterr().out
+    assert "idw" in out and "% of range" in out

@@ -118,3 +118,39 @@ def test_two_tier_matches_full_window():
     want_i = np.asarray(scattered_idw(grid, lons, lats, k=8, max_radius=10))
     both = ~np.isnan(got_i) & ~np.isnan(want_i)
     np.testing.assert_allclose(got_i[both], want_i[both], rtol=1e-4, atol=0.05)
+
+
+def test_two_tier_escalation_respects_cap():
+    """escalate_cap must bound every slow-path trace shape: the escalated
+    recompute is chunked, never padded to the full batch (VERDICT r1 weak #2:
+    unbounded pad_n materialized ~(N, 441) candidate tensors -> OOM at 5M)."""
+    from auvtpu.ops.two_tier import TwoTierInterpolator
+
+    elev = shelf_seamount(H, W)
+    elev, _, _ = mask_grid(elev, 0.85, seed=7)  # heavy: many escalations
+    grid = RegularGrid.from_nan_array(elev, EXT)
+    cap = 128
+    tt = TwoTierInterpolator(grid, escalate_cap=cap)
+    seen_shapes = []
+    orig_run = tt._run
+
+    def spying_run(fast_fn, slow_fn, lons, lats, k):
+        def spy_slow(lo, la):
+            seen_shapes.append(lo.shape[0])
+            return slow_fn(lo, la)
+
+        return orig_run(fast_fn, spy_slow, lons, lats, k)
+
+    tt._run = spying_run
+    r = np.random.RandomState(11)
+    n = 4000
+    lons = r.uniform(1e-6, W - 1 - 1e-6, n).astype(np.float32)
+    lats = r.uniform(1e-6, H - 1 - 1e-6, n).astype(np.float32)
+    got = np.asarray(tt.kriging(lons, lats))
+    assert seen_shapes, "expected escalations at 85% removal"
+    assert max(seen_shapes) <= cap
+    assert len(seen_shapes) >= 2  # genuinely chunked
+    want = np.asarray(scattered_kriging(grid, lons, lats, max_radius=10))
+    assert (np.isnan(got) == np.isnan(want)).all()
+    both = ~np.isnan(got)
+    np.testing.assert_allclose(got[both], want[both], rtol=1e-4, atol=0.1)

@@ -42,6 +42,19 @@ def test_ingest_ragged_chunks(si):
         assert np.isnan(snap[0, 0])
 
 
+def test_ragged_chunk_observation_at_cell_zero_survives(si):
+    # regression: pad lanes used to scatter a stale value into flat index 0,
+    # which could clobber a genuine observation at cell (0,0) in the same
+    # ragged chunk (duplicate-index .at[].set order is undefined)
+    rows = np.array([0, 5])
+    cols = np.array([0, 7])
+    vals = np.array([-123.5, -77.0], np.float32)
+    si.ingest(rows, cols, vals)  # 2 live + 254 pad lanes in one chunk
+    snap = si.snapshot()
+    assert snap[0, 0] == pytest.approx(-123.5)
+    assert snap[5, 7] == pytest.approx(-77.0)
+
+
 def test_window_fill_recovers_surface(si):
     truth = shelf_seamount(512, 512)
     r = np.random.RandomState(2)
