@@ -146,10 +146,13 @@ def main(argv=None):
         lons_h = np.asarray(lons, np.float64)
         lats_h = np.asarray(lats, np.float64)
 
+        # amortize the tunnel's ~27 ms one-off sync over enough dispatches
+        # that small batches report device time (measured ~0.45 ms/submit)
+        iters = int(np.clip(2_000_000 // max(n, 1), 5, 100))
         for method in args.methods:
             fn = ops[method]
             cold_ms, out = time_once_ms(fn, grid, lons, lats)
-            warm_ms = steady_state_ms(fn, grid, lons, lats, iters=5)
+            warm_ms = steady_state_ms(fn, grid, lons, lats, iters=iters)
             log(
                 f"[A n={n:>9}] {method:8s} end-to-end {cold_ms:8.1f} ms   "
                 f"steady {warm_ms:8.2f} ms  ({n/warm_ms*1e3/1e6:7.2f} M pts/s)"

@@ -354,14 +354,14 @@ def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vpar
 
 
 @partial(jax.jit, static_argnames=("max_radius", "convention", "backend"))
-def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None, vparams=None, convention: str = "reference", backend: str = "xla"):
+def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, col0=0, steps=None, vparams=None, convention: str = "reference", backend: str = "xla"):
     """Ordinary-kriging fill plane: first-4-valid selection (window_topk_planes),
     then a batched 5x5 solve per cell (weights depend on the *geometry* of the
     selected offsets, kernels.cu:478-546).
 
-    row0/steps support spatially-sharded execution: when the plane is a row
-    band of a larger grid, pass the band's global starting row and the global
-    (lat_step, lon_step) so the variogram geometry stays correct.
+    row0/col0/steps support spatially-sharded execution: when the plane is a
+    block of a larger grid, pass the block's global starting row/col and the
+    global (lat_step, lon_step) so the variogram geometry stays correct.
     """
     H, W = grid.shape
     dt = grid.dtype
@@ -375,7 +375,7 @@ def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, steps=None,
         cnt, vals, dxs, dys = window_topk_planes(
             grid, k=4, max_radius=max_radius, convention=convention
         )
-    cgrid = jax.lax.broadcasted_iota(dt, (H, W), 1).reshape(-1)
+    cgrid = (jax.lax.broadcasted_iota(dt, (H, W), 1) + jnp.asarray(col0, dt)).reshape(-1)
     rgrid = (jax.lax.broadcasted_iota(dt, (H, W), 0) + jnp.asarray(row0, dt)).reshape(-1)
     out = _krige_from_slots(
         grid,

@@ -13,7 +13,15 @@ TPU-native equivalents here:
   parallelism.
 """
 
-from .mesh import make_mesh, replicated, shard_queries
-from .spatial import sharded_fill, sharded_fit_fill
+from .mesh import make_mesh, make_mesh2d, replicated, shard_queries
+from .spatial import sharded_fill, sharded_fill2d, sharded_fit_fill
 
-__all__ = ["make_mesh", "replicated", "shard_queries", "sharded_fill", "sharded_fit_fill"]
+__all__ = [
+    "make_mesh",
+    "make_mesh2d",
+    "replicated",
+    "shard_queries",
+    "sharded_fill",
+    "sharded_fill2d",
+    "sharded_fit_fill",
+]

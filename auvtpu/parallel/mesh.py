@@ -15,6 +15,22 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh2d(shape: tuple[int, int] | None = None, axes=("dy", "dx")) -> Mesh:
+    """2-D device mesh for block-sharded grids (rows x cols).
+
+    Default shape: the most-square factorization of the device count, tall
+    side on rows (bathymetry tiles are usually taller than wide)."""
+    devs = jax.devices()
+    if shape is None:
+        n = len(devs)
+        ny = int(np.sqrt(n))
+        while n % ny:
+            ny -= 1
+        shape = (max(ny, n // ny), min(ny, n // ny))
+    ny, nx = shape
+    return Mesh(np.array(devs[: ny * nx]).reshape(ny, nx), tuple(axes))
+
+
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 

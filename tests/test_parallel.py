@@ -13,7 +13,7 @@ from auvtpu.config import Extent
 from auvtpu.grid import RegularGrid
 from auvtpu.masking import mask_grid
 from auvtpu.ops import fill_idw, fill_kriging, fill_window_mean, scattered_idw
-from auvtpu.parallel import make_mesh, shard_queries, sharded_fill
+from auvtpu.parallel import make_mesh, make_mesh2d, shard_queries, sharded_fill, sharded_fill2d
 from auvtpu.synthetic import shelf_seamount
 
 H, W = 96, 64
@@ -74,8 +74,55 @@ def test_query_dp_matches_unsharded(masked_grid):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
 
 
-def test_band_too_short_raises():
-    g = RegularGrid.from_nan_array(np.ones((16, W)), Extent(0, W - 1.0, 0, 15.0))
+def test_bands_shorter_than_radius_multihop():
+    """8 devices x 2-row bands with a 10-deep halo: each halo spans 5
+    neighbor bands — iterated one-hop ppermutes must assemble it exactly
+    (round-1 raised ValueError here)."""
+    elev = shelf_seamount(16, W)
+    elev, _, _ = mask_grid(elev, 0.3, seed=12)
+    g = RegularGrid.from_nan_array(elev, Extent(0, W - 1.0, 0, 15.0))
     mesh = make_mesh()
-    with pytest.raises(ValueError, match="band height"):
-        sharded_fill(mesh, g, "idw", max_radius=10)
+    for method, single in [
+        ("idw", lambda: fill_idw(g, k=8, max_radius=10)),
+        ("kriging", lambda: fill_kriging(g, max_radius=10)),
+    ]:
+        got = np.asarray(sharded_fill(mesh, g, method, max_radius=10))
+        want = np.asarray(single())
+        assert (np.isnan(got) == np.isnan(want)).all()
+        both = ~np.isnan(got)
+        np.testing.assert_allclose(got[both], want[both], rtol=2e-5, atol=2e-3)
+
+
+@pytest.mark.parametrize("method,kwargs", [
+    ("idw", dict(k=8)),
+    ("window_mean", dict(k=4)),
+    ("kriging", dict()),
+])
+def test_sharded_fill2d_matches_single_device(masked_grid, method, kwargs):
+    mesh = make_mesh2d((4, 2))
+    got = np.asarray(sharded_fill2d(mesh, masked_grid, method, max_radius=10, **kwargs))
+    single = {
+        "idw": lambda g: fill_idw(g, k=8, max_radius=10),
+        "window_mean": lambda g: fill_window_mean(g, k=4, max_radius=10),
+        "kriging": lambda g: fill_kriging(g, max_radius=10),
+    }[method](masked_grid)
+    single = np.asarray(single)
+    assert got.shape == single.shape
+    assert (np.isnan(got) == np.isnan(single)).all()
+    both = ~np.isnan(got)
+    np.testing.assert_allclose(got[both], single[both], rtol=2e-5, atol=2e-3)
+
+
+def test_sharded_fill2d_small_blocks_and_pad():
+    """(2,4) mesh over a 23x30 grid: 12x8-ish blocks narrower than the halo
+    in both axes, plus row AND column padding."""
+    elev = shelf_seamount(23, 30)
+    elev, _, _ = mask_grid(elev, 0.2, seed=13)
+    g = RegularGrid.from_nan_array(elev, Extent(0.0, 29.0, 0.0, 22.0))
+    mesh = make_mesh2d((2, 4))
+    got = np.asarray(sharded_fill2d(mesh, g, "kriging", max_radius=10))
+    want = np.asarray(fill_kriging(g, max_radius=10))
+    assert got.shape == want.shape
+    assert (np.isnan(got) == np.isnan(want)).all()
+    both = ~np.isnan(got)
+    np.testing.assert_allclose(got[both], want[both], rtol=2e-5, atol=2e-3)
