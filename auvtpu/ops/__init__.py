@@ -48,6 +48,7 @@ from .exact import (
     exact_select_at_cells,
     prepare_exact_queries,
 )
+from .tiled import tiled_bicubic, tiled_bilinear, tiled_idw, tiled_kriging
 from .window import window_select, ring_tables
 from .batch import apply_chunked
 from .two_tier import TwoTierInterpolator
@@ -72,6 +73,10 @@ __all__ = [
     "exact_kriging_at_cells",
     "exact_select_at_cells",
     "prepare_exact_queries",
+    "tiled_bilinear",
+    "tiled_bicubic",
+    "tiled_kriging",
+    "tiled_idw",
     "window_select",
     "ring_tables",
     "apply_chunked",

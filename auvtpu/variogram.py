@@ -116,16 +116,41 @@ def exponential_model(h, params):
     return nugget + sill * (1.0 - jnp.exp(-h / jnp.maximum(rng, 1e-6)))
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def fit_exponential(lags, gamma, counts, *, iters: int = 30, init=None):
-    """Weighted Gauss-Newton fit of the exponential variogram in log-parameter
-    space (positivity by construction, no boundary stalls: a trend-dominated
-    gamma drives range large, recovering the linear-variogram regime the
-    reference prototype used via PyKrige).
+def variogram_model(h, params, model: str = "exponential"):
+    """Model zoo (static ``model`` string, jit-friendly).
+
+    params is always (nugget, p1, p2):
+      exponential: gamma = nugget + p1 (1 - e^(-h/p2))    (the reference's
+                   hardcoded model, GridH.cpp:371-376)
+      linear:      gamma = nugget + p1 h                  (the prototype's
+                   PyKrige model, test_interpolation.py:61-68; p2 unused)
+      spherical:   gamma = nugget + p1 (1.5 m - 0.5 m^3), m = min(h/p2, 1)
+      gaussian:    gamma = nugget + p1 (1 - e^(-(h/p2)^2))
+    """
+    nugget, p1, p2 = params
+    p2 = jnp.maximum(p2, 1e-6)
+    if model == "exponential":
+        return nugget + p1 * (1.0 - jnp.exp(-h / p2))
+    if model == "linear":
+        return nugget + p1 * h
+    if model == "spherical":
+        m = jnp.minimum(h / p2, 1.0)
+        return nugget + p1 * (1.5 * m - 0.5 * m**3)
+    if model == "gaussian":
+        return nugget + p1 * (1.0 - jnp.exp(-((h / p2) ** 2)))
+    raise ValueError(model)
+
+
+@partial(jax.jit, static_argnames=("iters", "model"))
+def fit_model(lags, gamma, counts, *, model: str = "exponential", iters: int = 30, init=None):
+    """Weighted Gauss-Newton fit of a variogram model in log-parameter space
+    (positivity by construction, no boundary stalls: a trend-dominated gamma
+    drives the exponential's range large, recovering the linear-variogram
+    regime the reference prototype used via PyKrige).
 
     Fixed iteration count and Levenberg damping keep it jit/scan-friendly;
     weights are the pair counts (more pairs -> more trust).  Returns
-    (nugget, sill, range) as traced scalars.
+    (nugget, p1, p2) as traced scalars (see :func:`variogram_model`).
     """
     dt = gamma.dtype
     w = counts / jnp.maximum(counts.sum(), 1.0)
@@ -133,13 +158,15 @@ def fit_exponential(lags, gamma, counts, *, iters: int = 30, init=None):
         # data-driven init: sill ~ max gamma, range ~ a third of max lag,
         # nugget ~ 1% of sill (avoids scale mismatch across datasets)
         sill0 = jnp.maximum(jnp.max(gamma), 1e-3)
-        init = jnp.stack([0.01 * sill0, sill0, jnp.max(lags) / 3.0]).astype(dt)
+        maxlag = jnp.maximum(jnp.max(lags), 1e-9)
+        p1_0 = sill0 / maxlag if model == "linear" else sill0
+        init = jnp.stack([0.01 * sill0, p1_0, maxlag / 3.0]).astype(dt)
     else:
         init = jnp.asarray(init, dt)
     theta = jnp.log(init)
 
     def resid(theta):
-        return (exponential_model(lags, jnp.exp(theta)) - gamma) * jnp.sqrt(w)
+        return (variogram_model(lags, jnp.exp(theta), model) - gamma) * jnp.sqrt(w)
 
     jac = jax.jacfwd(resid)
 
@@ -160,6 +187,32 @@ def fit_exponential(lags, gamma, counts, *, iters: int = 30, init=None):
     theta, _ = jax.lax.scan(step, theta, None, length=iters)
     p = jnp.exp(theta)
     return p[0], p[1], p[2]
+
+
+def fit_exponential(lags, gamma, counts, *, iters: int = 30, init=None):
+    """Exponential-model fit (the reference's model); see :func:`fit_model`."""
+    return fit_model(lags, gamma, counts, model="exponential", iters=iters, init=init)
+
+
+def fit_best_model(lags, gamma, counts, *, models=("exponential", "linear", "spherical", "gaussian"), iters: int = 30):
+    """Fit every candidate model and pick the lowest weighted SSE.
+
+    Returns (model_name, (nugget, p1, p2), sse) with params as numpy floats —
+    model choice is data-dependent, so this is a host-level step (one scalar
+    readback per candidate), like PyKrige's per-dataset model argument.
+    """
+    best = None
+    w = np.asarray(counts, np.float64)
+    w = w / max(w.sum(), 1.0)
+    g = np.asarray(gamma, np.float64)
+    h = np.asarray(lags, np.float64)
+    for m in models:
+        p = tuple(float(v) for v in fit_model(lags, gamma, counts, model=m, iters=iters))
+        r = np.asarray(variogram_model(jnp.asarray(h), p, m), np.float64) - g
+        sse = float((w * r * r).sum())
+        if best is None or sse < best[2]:
+            best = (m, p, sse)
+    return best
 
 
 def fit_variogram(grid: RegularGrid, *, max_lag: int = 10, n_bins: int = 10, iters: int = 25):

@@ -154,3 +154,15 @@ def test_two_tier_escalation_respects_cap():
     assert (np.isnan(got) == np.isnan(want)).all()
     both = ~np.isnan(got)
     np.testing.assert_allclose(got[both], want[both], rtol=1e-4, atol=0.1)
+
+
+def test_packed_assume_valid_matches_general_on_valid_grid():
+    # the single-reduction fast path must be value-identical on fully-valid
+    # grids (it skips only the fallback/NaN-detection reductions)
+    grid = _mk(False)
+    sp = StencilPack(grid, window_radius=2)
+    lons, lats = _queries()
+    for pack, fn in [(sp.bilinear, packed_bilinear), (sp.bicubic, packed_bicubic)]:
+        a = np.asarray(fn(pack, grid, lons, lats, assume_valid=True))
+        b = np.asarray(fn(pack, grid, lons, lats))
+        np.testing.assert_array_equal(a, b)
