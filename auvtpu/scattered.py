@@ -35,10 +35,16 @@ def _pairwise_d2(a, b):
 
     Callers MUST center coordinates first: with raw geographic coords the
     |A|^2 terms (~5e3 for lon ~ -73) swamp the ~1e-4 squared distances of
-    interest below f32 resolution (catastrophic cancellation)."""
+    interest below f32 resolution (catastrophic cancellation).
+
+    precision=HIGHEST is load-bearing: the TPU MXU's default matmul
+    precision is bfloat16, whose ~8-bit mantissa puts ~1e-2 absolute error
+    on the A.B term (coords ~1 after centering) — larger than the ~1e-4
+    squared distances being computed, which silently scrambles neighbor
+    selection on real chips (CPU tests never see it)."""
     aa = jnp.sum(a * a, axis=1, keepdims=True)
     bb = jnp.sum(b * b, axis=1, keepdims=True)
-    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(aa + bb.T - 2.0 * ab, 0.0)
 
 
