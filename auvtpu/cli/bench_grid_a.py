@@ -55,9 +55,18 @@ def main(argv=None):
         help="candidate window radius for kriging/IDW; 2 is exact on fully-"
         "valid grids (the k<=8 nearest cells always lie within Chebyshev 2)",
     )
+    p.add_argument(
+        "--selection", choices=["v2", "exact"], default="v2",
+        help="exact = reproduce the reference CPU engine digit-for-digit at "
+        "arbitrary coordinates (f64 ring selection, ops/exact.py; enables "
+        "x64). v2 = true-k-nearest production semantics.",
+    )
     args = p.parse_args(argv)
 
     import jax
+
+    if args.selection == "exact":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from ..ops import (
@@ -90,7 +99,26 @@ def main(argv=None):
     from ..ops import apply_chunked
 
     R = args.window_radius
-    if args.packed:
+    if args.selection == "exact":
+        # device f64 path reproducing the golden (= reference CPU) engine
+        # digit-for-digit at arbitrary coordinates; validated below against
+        # the golden oracle at 1e-9 instead of the f32 tolerance
+        from ..ops.exact import (
+            exact_bilinear_scattered,
+            exact_cubic_scattered,
+            exact_kriging_scattered,
+        )
+
+        grid = RegularGrid.from_nan_array(
+            np.asarray(elev, np.float64), ext, dtype=np.float64
+        )
+        ops = {
+            "Bilinear": lambda g, lo, la: exact_bilinear_scattered(g, lo, la),
+            "Cubic": lambda g, lo, la: exact_cubic_scattered(g, lo, la, max_radius=R if R > 2 else 10),
+            "Kriging": lambda g, lo, la: exact_kriging_scattered(g, lo, la, max_radius=R if R > 2 else 10),
+        }
+        args.methods = [m for m in args.methods if m in ops]
+    elif args.packed:
         # stencil packs: every query fetches its whole neighborhood in ONE
         # row-block gather (ops/packs.py); pack build amortizes like the
         # reference's ctor-time grid upload
@@ -134,7 +162,9 @@ def main(argv=None):
     goldens = {
         "Bilinear": golden.bilinear,
         "Cubic": golden.cubic,
-        "Kriging": golden_v2.kriging,
+        # exact mode targets the reference engine itself; v2 targets its
+        # documented true-k-nearest semantics (docs/SEMANTICS.md)
+        "Kriging": golden.kriging if args.selection == "exact" else golden_v2.kriging,
         "IDW": lambda lo, la: golden_v2.idw(lo, la, k=8),
     }
 
@@ -151,10 +181,17 @@ def main(argv=None):
         # amortize the tunnel's ~27 ms one-off sync over enough dispatches
         # that small batches report device time (measured ~0.45 ms/submit)
         iters = int(np.clip(2_000_000 // max(n, 1), 5, 100))
+        if args.selection == "exact":
+            # exact mode is the parity path (host-chunked f64), not the
+            # throughput path; queries go in as raw f64 coordinates
+            qlo, qla = lons_h, lats_h
+            iters = 2
+        else:
+            qlo, qla = lons, lats
         for method in args.methods:
             fn = ops[method]
-            cold_ms, out = time_once_ms(fn, grid, lons, lats)
-            warm_ms = steady_state_ms(fn, grid, lons, lats, iters=iters)
+            cold_ms, out = time_once_ms(fn, grid, qlo, qla)
+            warm_ms = steady_state_ms(fn, grid, qlo, qla, iters=iters)
             log(
                 f"[A n={n:>9}] {method:8s} end-to-end {cold_ms:8.1f} ms   "
                 f"steady {warm_ms:8.2f} ms  ({n/warm_ms*1e3/1e6:7.2f} M pts/s)"
@@ -169,7 +206,8 @@ def main(argv=None):
                 want = goldens[method](lons_h[:m], lats_h[:m])
                 got = np.asarray(out)[:m]
                 scale = max(1.0, float(np.nanmax(np.abs(want))))
-                ok = np.allclose(got, want, atol=5e-5 * scale, equal_nan=True)
+                tol = 1e-9 if args.selection == "exact" else 5e-5
+                ok = np.allclose(got, want, atol=tol * scale, equal_nan=True)
                 overall_ok &= ok
                 log(f"          validation vs golden ({m} pts): {'PASSED' if ok else 'FAILED'}")
 

@@ -383,6 +383,220 @@ def exact_cubic_at_cells(grid: RegularGrid, rows, cols, *, max_radius: int = 10,
     return out
 
 
+# ---------------------------------------------------------------------------
+# exact selection for arbitrary scattered queries (Grid A)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_radius",))
+def _select_chunk_scattered(elev, valid, ci, cj, x, y, *, max_radius):
+    """Exact reference ring selection for arbitrary (non-cell-aligned)
+    queries — the Grid A regime (test_interpolation.cpp:120-160 generates
+    continuous random coordinates).
+
+    Unlike the cell-aligned path (module docstring), no T-key decomposition
+    exists for arbitrary fractional positions; the keys are the reference's
+    own f64 ``sqrt(di*di+dj*dj)`` values (GridH.cpp:95-99), so this kernel
+    must run under ``jax_enable_x64``.  Equal keys — exact geometric ties, or
+    distinct d2 merged by f64 sqrt rounding, both of which the reference's
+    ``dist < minDist`` scan resolves by compacted position — break by the
+    swap-mutated position plane, exactly like GridH.cpp:123-140.
+    """
+    tb = exact_tables(max_radius)
+    tdx = jnp.asarray(tb["dx"])
+    tdy = jnp.asarray(tb["dy"])
+    prev_end = jnp.asarray(tb["prev_end"])
+
+    H, W = valid.shape
+    gi = ci[:, None] + tdx[None, :]  # (N, M)
+    gj = cj[:, None] + tdy[None, :]
+    inb = (gi >= 0) & (gi < W) & (gj >= 0) & (gj < H)
+    flat = jnp.clip(gj, 0, H - 1) * W + jnp.clip(gi, 0, W - 1)
+    val = jnp.take(elev.reshape(-1), flat)
+    ok = jnp.take(valid.reshape(-1), flat) > 0.5
+    cand = inb & ok
+
+    cum = jnp.cumsum(cand.astype(jnp.int32), axis=1)
+    cum_prev = jnp.where(prev_end[None, :] < 0, 0, cum[:, jnp.maximum(prev_end, 0)])
+    eligible = cand & (cum_prev < 4)
+    found = eligible.sum(axis=1)
+
+    dt = x.dtype
+    di = (gi.astype(dt) + dt.type(0.5)) - x[:, None]
+    dj = (gj.astype(dt) + dt.type(0.5)) - y[:, None]
+    dist = jnp.sqrt(di * di + dj * dj)
+    pos = jnp.where(eligible, cum - 1, _BIG)
+
+    sel_val, sel_gi, sel_gj = [], [], []
+    inf = jnp.asarray(jnp.inf, dt)
+    for m in range(4):
+        active = eligible & (pos >= m)
+        key = jnp.where(active, dist, inf)
+        m1 = key.min(axis=1, keepdims=True)
+        c1 = active & (key == m1)
+        p3 = jnp.where(c1, pos, _BIG)
+        kpos = p3.min(axis=1, keepdims=True)
+        sel = eligible & (pos == kpos) & (kpos < _BIG)
+        sel_val.append(jnp.where(sel, val, 0).sum(axis=1))
+        sel_gi.append(jnp.where(sel, gi, 0).sum(axis=1))
+        sel_gj.append(jnp.where(sel, gj, 0).sum(axis=1))
+        mlane = eligible & (pos == m)
+        pos = jnp.where(mlane, kpos, jnp.where(sel, m, pos))
+
+    stack = lambda xs: jnp.stack(xs, axis=1)
+    return found, stack(sel_val), stack(sel_gi), stack(sel_gj)
+
+
+def _prepare_scattered(grid: RegularGrid, lons, lats, anchor: str):
+    """f64 normalization for raw scattered coordinates (golden.engine
+    _normalize semantics: oob outside the extent, anchors clamped)."""
+    lons = np.asarray(lons, np.float64).ravel()
+    lats = np.asarray(lats, np.float64).ravel()
+    H, W = grid.shape
+    lon_step = (grid.max_lon - grid.min_lon) / (W - 1)
+    lat_step = (grid.max_lat - grid.min_lat) / (H - 1)
+    oob = (
+        (lons < grid.min_lon) | (lons > grid.max_lon)
+        | (lats < grid.min_lat) | (lats > grid.max_lat)
+    )
+    x = np.where(oob, 0.0, (lons - grid.min_lon) / lon_step)
+    y = np.where(oob, 0.0, (lats - grid.min_lat) / lat_step)
+    if anchor == "round":
+        ci = np.clip(np.floor(x + 0.5).astype(np.int64), 0, W - 1)
+        cj = np.clip(np.floor(y + 0.5).astype(np.int64), 0, H - 1)
+    elif anchor == "floor":
+        ci = np.floor(x).astype(np.int64)
+        cj = np.floor(y).astype(np.int64)
+    else:
+        raise ValueError(anchor)
+    return lons, lats, x, y, ci.astype(np.int32), cj.astype(np.int32), oob
+
+
+def _require_x64():
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "exact scattered selection orders true f64 distances; enable "
+            "jax.config.update('jax_enable_x64', True) first (the CLIs' "
+            "--selection exact does this)"
+        )
+
+
+def exact_kriging_scattered(grid: RegularGrid, lons, lats, *, max_radius: int = 10, chunk: int = 16384):
+    """Ordinary kriging at arbitrary coordinates with exact reference
+    selection (GridH.cpp:326-420 for continuous queries — the Grid A
+    workload).  Requires x64; returns (N,) numpy f64."""
+    _require_x64()
+    lons, lats, x, y, ci, cj, oob = _prepare_scattered(grid, lons, lats, "round")
+    n = len(x)
+    sel = partial(_select_chunk_scattered, grid.elev, grid.valid, max_radius=max_radius)
+    found, sel_val, sel_gi, sel_gj = _run_chunked(
+        sel, n, min(chunk, max(n, 1)), ci, cj, x, y
+    )
+    out = np.full(n, np.nan)
+    few = (found < 4) & ~oob
+    out[few] = _fallback_mean_np(found[few], sel_val[few])
+
+    okm = (found >= 4) & ~oob
+    if okm.any():
+        lon_step = (grid.max_lon - grid.min_lon) / (grid.num_lon - 1)
+        lat_step = (grid.max_lat - grid.min_lat) / (grid.num_lat - 1)
+        cx = grid.min_lon + (sel_gi[okm].astype(np.float64) + 0.5) * lon_step
+        cy = grid.min_lat + (sel_gj[okm].astype(np.float64) + 0.5) * lat_step
+        vals = sel_val[okm].astype(np.float64)
+        idx = np.nonzero(okm)[0]
+        pred, singular = _run_chunked(
+            lambda a, b, c, d, e: _krige_chunk(a, b, c, d, e),
+            len(idx), min(chunk, len(idx)),
+            lons[okm], lats[okm], vals, cx, cy,
+        )
+        fb4 = vals.mean(axis=1)
+        out[idx] = np.where(singular.astype(bool), fb4, pred)
+    return out
+
+
+@jax.jit
+def _cubic_smooth_chunk(elev, valid, xi, yi, x, y):
+    """f64 Catmull-Rom over the clamped 4x4 patch + patch validity
+    (GridH.cpp:223-319 smooth path)."""
+    from .scattered import _catmull_rom
+
+    H, W = valid.shape
+    rel = jnp.arange(-1, 3, dtype=jnp.int32)
+    jj = jnp.clip(yi[:, None] + rel[None, :], 0, H - 1)
+    ii = jnp.clip(xi[:, None] + rel[None, :], 0, W - 1)
+    flat = jj[:, :, None] * W + ii[:, None, :]
+    patch = jnp.take(elev.reshape(-1), flat)  # (N, 4, 4)
+    pv = jnp.take(valid.reshape(-1), flat) > 0.5
+    all_ok = pv.all(axis=(1, 2))
+    tx = x - xi.astype(x.dtype)
+    ty = y - yi.astype(y.dtype)
+    col = _catmull_rom(
+        patch[:, :, 0], patch[:, :, 1], patch[:, :, 2], patch[:, :, 3], tx[:, None]
+    )
+    smooth = _catmull_rom(col[:, 0], col[:, 1], col[:, 2], col[:, 3], ty)
+    return smooth, all_ok
+
+
+def exact_cubic_scattered(grid: RegularGrid, lons, lats, *, max_radius: int = 10, chunk: int = 16384):
+    """Bicubic at arbitrary coordinates: f64 Catmull-Rom when the 4x4 patch
+    is fully valid, else the exact ring-fallback mean at the floor anchor
+    (GridH.cpp:223-319).  Requires x64."""
+    _require_x64()
+    lons, lats, x, y, ci, cj, oob = _prepare_scattered(grid, lons, lats, "floor")
+    n = len(x)
+    smooth, all_ok = _run_chunked(
+        partial(_cubic_smooth_chunk, grid.elev, grid.valid),
+        n, min(chunk, max(n, 1)), ci, cj, x, y,
+    )
+    out = np.asarray(smooth, np.float64).copy()
+    need = ~all_ok.astype(bool) & ~oob
+    if need.any():
+        sel = partial(_select_chunk_scattered, grid.elev, grid.valid, max_radius=max_radius)
+        found, sel_val, _, _ = _run_chunked(
+            sel, int(need.sum()), min(chunk, max(int(need.sum()), 1)),
+            ci[need], cj[need], x[need], y[need],
+        )
+        out[need] = _fallback_mean_np(found, sel_val)
+    return np.where(oob, np.nan, out)
+
+
+@jax.jit
+def _bilinear_chunk(elev, valid, x0, y0, x, y):
+    """f64 bilinear with the reference's clamped +1 corners and
+    valid-corner-mean fallback (GridH.cpp:160-210)."""
+    H, W = valid.shape
+    x0c = jnp.clip(x0, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    x1 = jnp.minimum(x0c + 1, W - 1)
+    y1 = jnp.minimum(y0c + 1, H - 1)
+    ev = elev.reshape(-1)
+    vv = valid.reshape(-1)
+    idx = [y0c * W + x0c, y0c * W + x1, y1 * W + x0c, y1 * W + x1]
+    z = [jnp.take(ev, i) for i in idx]
+    m = [jnp.take(vv, i) > 0.5 for i in idx]
+    cnt = sum(mm.astype(jnp.int32) for mm in m)
+    s = sum(jnp.where(mm, zz, 0.0) for mm, zz in zip(m, z))
+    fb = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), jnp.nan)
+    wx = x - x0.astype(x.dtype)
+    wy = y - y0.astype(y.dtype)
+    z0 = (1 - wx) * z[0] + wx * z[1]
+    z1 = (1 - wx) * z[2] + wx * z[3]
+    smooth = (1 - wy) * z0 + wy * z1
+    return jnp.where(cnt >= 4, smooth, fb)
+
+
+def exact_bilinear_scattered(grid: RegularGrid, lons, lats, *, chunk: int = 16384):
+    """Bilinear at arbitrary coordinates in f64 (GridH.cpp:160-210).
+    Requires x64."""
+    _require_x64()
+    lons, lats, x, y, ci, cj, oob = _prepare_scattered(grid, lons, lats, "floor")
+    n = len(x)
+    (out,) = _run_chunked(
+        lambda *a: (_bilinear_chunk(grid.elev, grid.valid, *a),),
+        n, min(chunk, max(n, 1)), ci, cj, x, y,
+    )
+    return np.where(oob, np.nan, np.asarray(out, np.float64))
+
+
 def exact_bilinear_at_cells(grid: RegularGrid, rows, cols):
     """Bilinear with the reference's floor anchoring (GridH.cpp:160-210).
 

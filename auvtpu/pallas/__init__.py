@@ -22,5 +22,15 @@ from .window_fill import (
     pallas_fill_kriging,
     pallas_available,
 )
+from .scattered_select import pallas_packed_kriging, pallas_packed_idw
 
-__all__ = ["pallas_fill_idw", "pallas_fill_mean", "pallas_topk_idx", "pallas_topk_full", "pallas_fill_kriging", "pallas_available"]
+__all__ = [
+    "pallas_fill_idw",
+    "pallas_fill_mean",
+    "pallas_topk_idx",
+    "pallas_topk_full",
+    "pallas_fill_kriging",
+    "pallas_available",
+    "pallas_packed_kriging",
+    "pallas_packed_idw",
+]

@@ -67,7 +67,9 @@ def knn_search(targets_xy, points_xy, *, k: int, pt_chunk: int = 8192):
 
     def body(carry, c):
         best_d2, best_idx = carry
-        blk = jax.lax.dynamic_slice(pts, (c * pt_chunk, 0), (pt_chunk, 2))
+        blk = jax.lax.dynamic_slice(
+            pts, (c * pt_chunk, jnp.zeros((), c.dtype)), (pt_chunk, 2)
+        )
         d2 = _pairwise_d2(targets_xy, blk)  # (n, chunk); padded pts -> inf/nan
         d2 = jnp.where(jnp.isfinite(d2), d2, jnp.inf)
         idx = c * pt_chunk + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
@@ -77,7 +79,7 @@ def knn_search(targets_xy, points_xy, *, k: int, pt_chunk: int = 8192):
         return (-neg, jnp.take_along_axis(cat_idx, sel, axis=1)), None
 
     init = (
-        jnp.full((n, k), jnp.inf, jnp.float32),
+        jnp.full((n, k), jnp.inf, targets_xy.dtype),
         jnp.full((n, k), -1, jnp.int32),
     )
     (d2, idx), _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.int32))
@@ -128,28 +130,61 @@ def linear_knn(points_xy, points_val, targets_xy, *, k: int = 12):
 
 @partial(jax.jit, static_argnames=("k", "model"))
 def _ok_from_knn(d2, xy_k, vals_k, targets_xy, vparams, *, k: int, model: str = "exponential"):
-    """Moving-window ordinary kriging: per target, solve the (k+1)x(k+1)
-    system [[Gamma, 1], [1, 0]] [w, mu] = [gamma(target), 1]."""
+    """Moving-window ordinary kriging over the k nearest neighbors.
+
+    The GAUSSIAN model solves in COVARIANCE form with a Cholesky
+    factorization: C(h) = (nugget + sill) - gamma(h) is a positive-definite
+    kernel block, and the Lagrange constraint reduces to two triangular
+    solves (w = v + lam u with u = C^-1 1, v = C^-1 c0).  The indefinite
+    (k+1)-square variogram form is catastrophically ill-conditioned for this
+    very smooth kernel — measured on a 1200-point synthetic: variogram-form
+    RMSE 2.1-38 (erratic across jitter choices, even in f64) vs
+    covariance-form 0.19-0.27 across FOUR decades of diagonal
+    regularization; the 1e-3 floor is the center of that plateau
+    (docs/NEXTSTEPS.md round-2 item 8).
+
+    Exponential/spherical/linear keep the normalized variogram-form solve:
+    they are well-conditioned there, and the covariance form degrades in the
+    fitted large-range (trend-dominated) regime where total-sill dwarfs the
+    in-window variation (measured: fitted exponential RMSE 0.38 variogram
+    form vs 1.4 covariance form on the same synthetic).
+    """
     n = d2.shape[0]
     dt = d2.dtype
     dx = xy_k[:, :, None, 0] - xy_k[:, None, :, 0]
     dy = xy_k[:, :, None, 1] - xy_k[:, None, :, 1]
-    # Ordinary-kriging weights are invariant to scaling gamma (only the
-    # Lagrange multiplier rescales), so normalize the system to O(1) entries:
-    # raw gammas reach ~1e5+ for trend-dominated fields, which wrecks the
-    # f32 (k+1)x(k+1) solve against the all-ones Lagrange row.
     vf = lambda h: variogram_model(h, vparams, model)
-    scale = vf(jnp.sqrt(jnp.maximum(jnp.max(d2), 1e-12)))
-    G = vf(jnp.sqrt(dx * dx + dy * dy)) / scale  # (n,k,k)
-    A = jnp.zeros((n, k + 1, k + 1), dt)
-    A = A.at[:, :k, :k].set(G)
-    A = A.at[:, :k, k].set(1.0)
-    A = A.at[:, k, :k].set(1.0)
-    rhs = jnp.concatenate([vf(jnp.sqrt(d2)) / scale, jnp.ones((n, 1), dt)], axis=1)
-    # diagonal jitter on the gamma block for f32 stability
-    A = A.at[:, :k, :k].add(1e-4 * jnp.eye(k, dtype=dt))
-    w = jnp.linalg.solve(A, rhs[..., None])[..., 0]  # (n, k+1)
-    return jnp.sum(w[:, :k] * vals_k, axis=1)
+    h_kk = jnp.sqrt(dx * dx + dy * dy)
+    h_t = jnp.sqrt(d2)
+    if model != "gaussian":
+        # Ordinary-kriging weights are invariant to scaling gamma (only the
+        # Lagrange multiplier rescales), so normalize the system to O(1):
+        # raw gammas reach ~1e5+ for trend-dominated fields, which wrecks
+        # the f32 (k+1)x(k+1) solve against the all-ones Lagrange row.
+        scale = vf(jnp.sqrt(jnp.maximum(jnp.max(d2), 1e-12)))
+        G = vf(h_kk) / scale  # (n,k,k)
+        A = jnp.zeros((n, k + 1, k + 1), dt)
+        A = A.at[:, :k, :k].set(G)
+        A = A.at[:, :k, k].set(1.0)
+        A = A.at[:, k, :k].set(1.0)
+        rhs = jnp.concatenate([vf(h_t) / scale, jnp.ones((n, 1), dt)], axis=1)
+        A = A.at[:, :k, :k].add(1e-4 * jnp.eye(k, dtype=dt))
+        w = jnp.linalg.solve(A, rhs[..., None])[..., 0]  # (n, k+1)
+        return jnp.sum(w[:, :k] * vals_k, axis=1)
+
+    total = vparams[0] + vparams[1]  # gamma(inf) = nugget + sill
+    C = (total - vf(h_kk)) / total
+    c0 = (total - vf(h_t)) / total
+    C = C + 1e-3 * jnp.eye(k, dtype=dt)[None]
+    L = jnp.linalg.cholesky(C)
+    ones = jnp.ones((n, k, 1), dt)
+    u = jax.scipy.linalg.cho_solve((L, True), ones)
+    v = jax.scipy.linalg.cho_solve((L, True), c0[..., None])
+    lam = (1.0 - jnp.sum(v, axis=(1, 2))) / jnp.maximum(
+        jnp.sum(u, axis=(1, 2)), jnp.asarray(1e-30, dt)
+    )
+    w = (v + lam[:, None, None] * u)[..., 0]
+    return jnp.sum(w * vals_k, axis=1)
 
 
 @partial(jax.jit, static_argnames=("k", "model"))
@@ -166,14 +201,32 @@ def _ok_trend_from_knn(d2, xy_k, vals_k, targets_xy, vparams, *, k: int, model: 
     return coef[:, 2] + pred_resid
 
 
-def kriging_knn(points_xy, points_val, targets_xy, *, k: int = 50, vparams=None, model: str = "exponential", trend: str = "plane"):
+def kriging_knn(points_xy, points_val, targets_xy, *, k: int = 50, vparams=None, model: str = "exponential", trend: str = "plane", aniso=None):
     """Moving-window ordinary kriging (PyKrige n_closest_points equivalent).
 
     model: variogram model ('exponential' | 'linear' | 'spherical' |
     'gaussian'; the prototype used PyKrige's linear).  trend='plane' kriges
     residuals about a local weighted plane (recommended; trend=None is plain
-    OK, the reference prototype's configuration)."""
-    if vparams is None:
+    OK, the reference prototype's configuration).
+
+    aniso: optional (nugget, sill, rx, ry, theta) from
+    variogram.fit_anisotropic — coordinates are transformed by the ellipse
+    metric (variogram.anisotropy_matrix) so both the kNN search and the
+    kriging system use correlation distance; vparams becomes
+    (nugget, sill, 1).  Mutually exclusive with vparams.
+    """
+    if aniso is not None:
+        from .variogram import anisotropy_matrix
+
+        nugget, sill, rx, ry, theta = aniso
+        T = jnp.asarray(
+            anisotropy_matrix(float(rx), float(ry), float(theta)),
+            jnp.asarray(points_xy).dtype,
+        )
+        points_xy = jnp.asarray(points_xy) @ T.T
+        targets_xy = jnp.asarray(targets_xy) @ T.T
+        vparams = (nugget, sill, jnp.asarray(1.0, T.dtype))
+    elif vparams is None:
         vparams = fit_variogram_scattered(points_xy, points_val, model=model)
     d2, idx = knn_search(targets_xy, points_xy, k=k)
     idxc = jnp.clip(idx, 0, None)

@@ -57,19 +57,12 @@ def _bin_table(max_lag: int, n_bins: int):
     return dys, dxs, bin_of, centers
 
 
-def pair_sums(elev, valid, n_base_rows: int, *, max_lag: int = 10, n_bins: int = 10):
-    """Binned (sum of squared diffs, pair counts) with base cells in the first
-    ``n_base_rows`` rows and half-plane offsets (dy >= 0), so every pair is
-    counted exactly once even when the plane is a row band of a larger grid
-    whose bottom ``max_lag`` rows are the next band's halo.
-
-    elev/valid: (n_base_rows + max_lag, W).  Returns (s (n_bins,), c (n_bins,)).
-    """
-    dys, dxs, bin_of, _ = _bin_table(max_lag, n_bins)
+def _pair_sums_binned(elev, valid, n_base_rows: int, dys, dxs, bin_of, n_out: int, max_lag: int):
+    """Shared shifted-plane pair accumulator over an arbitrary offset->bin
+    table (isotropic lag bins or (sector, lag) flat bins)."""
     H = n_base_rows
     W = elev.shape[1]
     R = max_lag
-    dt = elev.dtype
     pe = jnp.pad(elev, ((0, 0), (R, R)))
     pv = jnp.pad(valid, ((0, 0), (R, R)))
     base_e = elev[:H]
@@ -86,11 +79,23 @@ def pair_sums(elev, valid, n_base_rows: int, *, max_lag: int = 10, n_bins: int =
         c = c.at[b].add(jnp.sum(both))
         return (s, c), None
 
-    init = (base_e[0, :n_bins] * 0, base_e[0, :n_bins] * 0)
+    zero = jnp.zeros((n_out,), elev.dtype)
     (s, c), _ = jax.lax.scan(
-        body, init, (jnp.asarray(dys), jnp.asarray(dxs), jnp.asarray(bin_of))
+        body, (zero, zero), (jnp.asarray(dys), jnp.asarray(dxs), jnp.asarray(bin_of))
     )
     return s, c
+
+
+def pair_sums(elev, valid, n_base_rows: int, *, max_lag: int = 10, n_bins: int = 10):
+    """Binned (sum of squared diffs, pair counts) with base cells in the first
+    ``n_base_rows`` rows and half-plane offsets (dy >= 0), so every pair is
+    counted exactly once even when the plane is a row band of a larger grid
+    whose bottom ``max_lag`` rows are the next band's halo.
+
+    elev/valid: (n_base_rows + max_lag, W).  Returns (s (n_bins,), c (n_bins,)).
+    """
+    dys, dxs, bin_of, _ = _bin_table(max_lag, n_bins)
+    return _pair_sums_binned(elev, valid, n_base_rows, dys, dxs, bin_of, n_bins, max_lag)
 
 
 @partial(jax.jit, static_argnames=("max_lag", "n_bins"))
@@ -109,6 +114,153 @@ def empirical_variogram(grid: RegularGrid, *, max_lag: int = 10, n_bins: int = 1
     gamma = jnp.where(c > 0, s / (2.0 * jnp.maximum(c, 1.0)), 0.0)
     _, _, _, centers = _bin_table(max_lag, n_bins)
     return jnp.asarray(centers, grid.dtype), gamma, c
+
+
+# ---------------------------------------------------------------------------
+# directional / anisotropic variograms
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=8)
+def _sector_bin_table(max_lag: int, n_bins: int, n_sectors: int):
+    """Offset -> (sector, lag-bin) flat table.  Half-plane offsets cover
+    azimuths [0, pi); sector s spans [s, s+1) * pi/n_sectors."""
+    dys, dxs, hs = _lag_offsets(max_lag)
+    edges = np.linspace(0.0, float(max_lag), n_bins + 1)
+    bin_of = np.clip(np.digitize(np.asarray(hs), edges) - 1, 0, n_bins - 1)
+    ang = np.mod(np.arctan2(dys.astype(np.float64), dxs.astype(np.float64)), np.pi)
+    sector_of = np.clip(
+        np.floor(ang / (np.pi / n_sectors)).astype(np.int64), 0, n_sectors - 1
+    )
+    flat = (sector_of * n_bins + bin_of).astype(np.int32)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    angles = (np.arange(n_sectors) + 0.5) * np.pi / n_sectors
+    return dys, dxs, flat, centers, angles
+
+
+@partial(jax.jit, static_argnames=("max_lag", "n_bins", "n_sectors"))
+def empirical_variogram_directional(grid: RegularGrid, *, max_lag: int = 10, n_bins: int = 10, n_sectors: int = 4):
+    """Directional Matheron semivariance: gamma binned by (azimuth sector,
+    lag).  Returns (lag_centers (n_bins,), sector_angles (n_sectors,),
+    gamma (n_sectors, n_bins), counts (n_sectors, n_bins)), lags in index
+    space.  The isotropic :func:`empirical_variogram` is the n_sectors=1
+    marginal.  (The reference is isotropic-only — GridH.cpp:371-376 — this
+    is the standard geostatistics extension for sheet-flow / channelized
+    bathymetry where along- and across-strike correlation lengths differ.)
+    """
+    H, W = grid.shape
+    R = max_lag
+    dys, dxs, flat, centers, angles = _sector_bin_table(max_lag, n_bins, n_sectors)
+    elev = jnp.pad(grid.elev, ((0, R), (0, 0)))
+    valid = jnp.pad(grid.valid, ((0, R), (0, 0)))
+    s, c = _pair_sums_binned(elev, valid, H, dys, dxs, flat, n_sectors * n_bins, R)
+    s = s.reshape(n_sectors, n_bins)
+    c = c.reshape(n_sectors, n_bins)
+    gamma = jnp.where(c > 0, s / (2.0 * jnp.maximum(c, 1.0)), 0.0)
+    return (
+        jnp.asarray(centers, grid.dtype),
+        jnp.asarray(angles, grid.dtype),
+        gamma,
+        c,
+    )
+
+
+def _aniso_h(h, ang, rx, ry, theta):
+    """Reduced (dimensionless) lag: the ellipse metric ||T h_vec|| with
+    principal ranges (rx, ry) and major-axis azimuth theta."""
+    ca = jnp.cos(ang - theta)
+    sa = jnp.sin(ang - theta)
+    return h * jnp.sqrt((ca / rx) ** 2 + (sa / ry) ** 2)
+
+
+@partial(jax.jit, static_argnames=("iters", "model"))
+def fit_anisotropic(lags, angles, gamma, counts, *, model: str = "exponential", iters: int = 40, init=None):
+    """Weighted Gauss-Newton fit of (nugget, sill, rx, ry, theta) on the
+    directional empirical variogram.  gamma(h, phi) = iso_model(h', 1) with
+    h' the ellipse-reduced lag; ranges are fit in log space (positive),
+    theta free (period pi — use :func:`normalize_aniso` for a canonical
+    form).  Returns five traced scalars."""
+    dt = gamma.dtype
+    S, B = gamma.shape
+    hh = jnp.broadcast_to(lags[None, :], (S, B)).reshape(-1)
+    aa = jnp.broadcast_to(angles[:, None], (S, B)).reshape(-1)
+    gg = gamma.reshape(-1)
+    w = counts.reshape(-1)
+    w = w / jnp.maximum(w.sum(), 1.0)
+    if init is None:
+        sill0 = jnp.maximum(jnp.max(gg), 1e-3)
+        maxlag = jnp.maximum(jnp.max(lags), 1e-9)
+        init_log = jnp.log(
+            jnp.stack([0.01 * sill0, sill0, maxlag / 3.0, maxlag / 6.0]).astype(dt)
+        )
+        # the SSE landscape is multimodal in theta (period pi): multi-start
+        # four orientations and keep the best converged fit
+        theta0s = jnp.asarray([0.0, np.pi / 4, np.pi / 2, 3 * np.pi / 4], dt)
+    else:
+        nug0, sill0, rx0, ry0, th0 = init
+        init_log = jnp.log(jnp.stack([nug0, sill0, rx0, ry0]).astype(dt))
+        theta0s = jnp.asarray(th0, dt).reshape(1)
+
+    sw = jnp.sqrt(w)
+
+    def resid(tv):
+        nugget, sill, rx, ry = jnp.exp(tv[0]), jnp.exp(tv[1]), jnp.exp(tv[2]), jnp.exp(tv[3])
+        hp = _aniso_h(hh, aa, rx, ry, tv[4])
+        return (variogram_model(hp, (nugget, sill, jnp.asarray(1.0, dt)), model) - gg) * sw
+
+    jac = jax.jacfwd(resid)
+
+    def step(tv, _):
+        r = resid(tv)
+        J = jac(tv)
+        A = J.T @ J
+        damp = 1e-4 * jnp.maximum(jnp.trace(A) / 5.0, 1e-12)
+        g = J.T @ r
+        delta = jnp.linalg.solve(A + damp * jnp.eye(5, dtype=dt), g)
+        delta = jnp.clip(delta, -1.0, 1.0)
+        new = tv - delta
+        better = jnp.sum(resid(new) ** 2) <= jnp.sum(r**2)
+        return jnp.where(better, new, tv), None
+
+    def fit_from(theta0):
+        tv0 = jnp.concatenate([init_log, theta0[None]])
+        tv, _ = jax.lax.scan(step, tv0, None, length=iters)
+        return tv, jnp.sum(resid(tv) ** 2)
+
+    tvs, sses = jax.vmap(fit_from)(theta0s)
+    tv = tvs[jnp.argmin(sses)]
+    return (
+        jnp.exp(tv[0]), jnp.exp(tv[1]), jnp.exp(tv[2]), jnp.exp(tv[3]), tv[4],
+    )
+
+
+def normalize_aniso(params):
+    """Canonical host-side form: rx >= ry (major axis first) and theta in
+    [0, pi).  params = (nugget, sill, rx, ry, theta) as floats."""
+    nugget, sill, rx, ry, theta = (float(v) for v in params)
+    if ry > rx:
+        rx, ry = ry, rx
+        theta += np.pi / 2.0
+    return nugget, sill, rx, ry, float(np.mod(theta, np.pi))
+
+
+def anisotropy_matrix(rx, ry, theta, dtype=np.float64):
+    """2x2 T with ||T h_vec|| = reduced lag: rotate azimuth theta onto +x,
+    then scale axes by (1/rx, 1/ry).  Transforming coordinates by T turns
+    anisotropic kriging into isotropic kriging with unit range (pass
+    vparams=(nugget, sill, 1.0))."""
+    c, s = np.cos(theta), np.sin(theta)
+    return np.asarray([[c / rx, s / rx], [-s / ry, c / ry]], dtype)
+
+
+def fit_variogram_directional(grid: RegularGrid, *, max_lag: int = 10, n_bins: int = 10, n_sectors: int = 4, model: str = "exponential", iters: int = 40):
+    """Convenience: directional empirical variogram + anisotropic fit, lags
+    scaled to degrees by the mean grid step.  Returns (nugget, sill, rx, ry,
+    theta) traced scalars (ranges in degrees)."""
+    lags, angles, gamma, counts = empirical_variogram_directional(
+        grid, max_lag=max_lag, n_bins=n_bins, n_sectors=n_sectors
+    )
+    step = 0.5 * (abs(grid.lat_step) + abs(grid.lon_step))
+    return fit_anisotropic(lags * step, angles, gamma, counts, model=model, iters=iters)
 
 
 def exponential_model(h, params):

@@ -230,3 +230,75 @@ def test_published_kriging_from_device_slow(region, removal, x64):
     assert m["MAE"] == pytest.approx(mae, abs=5e-5)
     assert m["RMSE"] == pytest.approx(rmse, abs=5e-5)
     assert m["MaxError"] == pytest.approx(mx, abs=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# scattered (Grid A, arbitrary coordinates) exact parity vs golden
+# ---------------------------------------------------------------------------
+
+def _scattered_coords(g, n, seed, frac_oob=0.02):
+    rng = np.random.default_rng(seed)
+    mlon = (g.max_lon - g.min_lon) * frac_oob
+    mlat = (g.max_lat - g.min_lat) * frac_oob
+    lons = rng.uniform(g.min_lon - mlon, g.max_lon + mlon, n)
+    lats = rng.uniform(g.min_lat - mlat, g.max_lat + mlat, n)
+    return lons, lats
+
+
+def test_scattered_selection_matches_golden(x64):
+    from auvtpu.ops.exact import _run_chunked, _select_chunk_scattered
+    from functools import partial
+
+    g, _, _, _ = _masked_grid(64, 80, 0.4, seed=6)
+    grid = RegularGrid.from_nan_array(g.elev, AWKWARD, dtype=np.float64)
+    lons, lats = _scattered_coords(g, 900, seed=7)
+    x = (lons - g.min_lon) / g.lon_step
+    y = (lats - g.min_lat) / g.lat_step
+    oob = (
+        (lons < g.min_lon) | (lons > g.max_lon)
+        | (lats < g.min_lat) | (lats > g.max_lat)
+    )
+    xs = np.where(oob, 0.0, x)
+    ys = np.where(oob, 0.0, y)
+    ci = np.clip(np.floor(xs + 0.5).astype(np.int64), 0, grid.num_lon - 1)
+    cj = np.clip(np.floor(ys + 0.5).astype(np.int64), 0, grid.num_lat - 1)
+    sv, si, sj, f = g._ring_select(xs, ys, ci, cj)
+
+    sel = partial(_select_chunk_scattered, grid.elev, grid.valid, max_radius=10)
+    found, sel_val, sel_gi, sel_gj = _run_chunked(
+        sel, len(xs), 256, ci.astype(np.int32), cj.astype(np.int32), xs, ys
+    )
+    np.testing.assert_array_equal(found, f)
+    ok = f >= 4
+    np.testing.assert_array_equal(sel_gi[ok], si[ok, :4])
+    np.testing.assert_array_equal(sel_gj[ok], sj[ok, :4])
+
+
+def test_scattered_methods_match_golden(x64):
+    from auvtpu.ops.exact import (
+        exact_bilinear_scattered,
+        exact_cubic_scattered,
+        exact_kriging_scattered,
+    )
+
+    g, _, _, _ = _masked_grid(72, 60, 0.35, seed=8)
+    grid = RegularGrid.from_nan_array(g.elev, AWKWARD, dtype=np.float64)
+    lons, lats = _scattered_coords(g, 800, seed=9)
+    for dev_fn, gold_fn, tol in [
+        (exact_bilinear_scattered, g.bilinear, 1e-11),
+        (exact_cubic_scattered, g.cubic, 1e-11),
+        (exact_kriging_scattered, g.kriging, 1e-9),
+    ]:
+        got = np.asarray(dev_fn(grid, lons, lats), np.float64)
+        want = gold_fn(lons, lats)
+        assert (np.isnan(got) == np.isnan(want)).all()
+        m = ~np.isnan(want)
+        np.testing.assert_allclose(got[m], want[m], atol=tol, rtol=1e-12)
+
+
+def test_scattered_exact_requires_x64():
+    g, grid, _, _ = _masked_grid(32, 32, 0.2, seed=10)
+    from auvtpu.ops.exact import exact_kriging_scattered
+
+    with pytest.raises(RuntimeError, match="x64"):
+        exact_kriging_scattered(grid, np.array([75.0]), np.array([-55.0]))

@@ -107,6 +107,93 @@ def test_pallas_fill_kriging_fused_matches_xla(grid):
     np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
 
 
+@pytest.fixture(scope="module")
+def scattered_queries():
+    rng = np.random.default_rng(11)
+    n = 700
+    lons = rng.uniform(-1.0, W, n).astype(np.float32)
+    lats = rng.uniform(-1.0, H, n).astype(np.float32)
+    return lons, lats
+
+
+@pytest.fixture(scope="module")
+def pack(grid):
+    from auvtpu.ops.packs import StencilPack
+
+    return StencilPack(grid, window_radius=2)
+
+
+def test_pallas_packed_kriging_matches_packs(grid, pack, scattered_queries):
+    from auvtpu.ops.packs import packed_kriging
+    from auvtpu.pallas import pallas_packed_kriging
+
+    lons, lats = scattered_queries
+    want = np.asarray(packed_kriging(pack.window, grid, lons, lats))
+    with _interp():
+        got = np.asarray(
+            pallas_packed_kriging(pack.window, grid, lons, lats, tile_n=256)
+        )
+    assert (np.isnan(got) == np.isnan(want)).all()
+    both = ~np.isnan(want)
+    np.testing.assert_allclose(got[both], want[both], rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_packed_kriging_centered_matches_packs(grid, pack, scattered_queries):
+    from auvtpu.ops.packs import packed_kriging
+    from auvtpu.pallas import pallas_packed_kriging
+
+    lons, lats = scattered_queries
+    want = np.asarray(
+        packed_kriging(pack.window, grid, lons, lats, convention="centered")
+    )
+    with _interp():
+        got = np.asarray(
+            pallas_packed_kriging(
+                pack.window, grid, lons, lats, tile_n=256, convention="centered"
+            )
+        )
+    assert (np.isnan(got) == np.isnan(want)).all()
+    both = ~np.isnan(want)
+    np.testing.assert_allclose(got[both], want[both], rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_packed_idw_matches_packs(grid, pack, scattered_queries):
+    from auvtpu.ops.packs import packed_idw
+    from auvtpu.pallas import pallas_packed_idw
+
+    lons, lats = scattered_queries
+    want = np.asarray(packed_idw(pack.window, grid, lons, lats, k=8))
+    with _interp():
+        got = np.asarray(
+            pallas_packed_idw(pack.window, grid, lons, lats, k=8, tile_n=256)
+        )
+    assert (np.isnan(got) == np.isnan(want)).all()
+    both = ~np.isnan(want)
+    np.testing.assert_allclose(got[both], want[both], rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_packed_kriging_fitted_vparams(grid, pack, scattered_queries):
+    """Traced (fitted) variogram params flow through the scalar-prefetch par
+    vector without retracing errors."""
+    import jax.numpy as jnp
+
+    from auvtpu.ops.packs import packed_kriging
+    from auvtpu.pallas import pallas_packed_kriging
+
+    lons, lats = scattered_queries
+    vp = (jnp.float32(0.05), jnp.float32(120.0), jnp.float32(0.8))
+    want = np.asarray(packed_kriging(pack.window, grid, lons, lats, vparams=vp))
+    with _interp():
+        got = np.asarray(
+            pallas_packed_kriging(
+                pack.window, grid, lons, lats, tile_n=256, vparams=vp
+            )
+        )
+    assert (np.isnan(got) == np.isnan(want)).all()
+    both = ~np.isnan(want)
+    np.testing.assert_allclose(got[both], want[both], rtol=1e-4, atol=1e-3)
+
+
 def test_pallas_fused_kriging_centered_matches_xla(grid):
     from auvtpu.pallas import pallas_fill_kriging
     from auvtpu.ops import fill_kriging

@@ -90,6 +90,43 @@ def test_incremental_updates_change_result(si):
     np.testing.assert_allclose(snap[rows2, cols2], truth[rows2, cols2], rtol=1e-6)
 
 
+def test_duplicate_cells_last_write_wins(si):
+    # duplicates within ONE staged flush must resolve deterministically to
+    # the most recently ingested value (arrival order), not XLA scatter luck
+    rows = np.array([9, 9, 9, 10])
+    cols = np.array([4, 4, 4, 4])
+    vals = np.array([-1.0, -2.0, -3.0, -8.0], np.float32)
+    si.ingest(rows, cols, vals)
+    snap = si.snapshot()
+    assert snap[9, 4] == pytest.approx(-3.0)
+    assert snap[10, 4] == pytest.approx(-8.0)
+    # a later ingest (separate flush) overwrites again
+    si.ingest([9], [4], [-5.0])
+    assert si.snapshot()[9, 4] == pytest.approx(-5.0)
+
+
+def test_stage_overflow_flushes(si):
+    # stage capacity is swath_cap * stage_slots = 256 * 16 = 4096; ingesting
+    # more than that in one call must loop flushes without losing points
+    truth = shelf_seamount(512, 512)
+    r = np.random.RandomState(7)
+    rows = r.randint(0, 512, 5000)
+    cols = r.randint(0, 512, 5000)
+    n = si.ingest(rows, cols, truth[rows, cols])
+    assert n == 5000
+    assert si._staged < si.stage_cap
+    snap = si.snapshot()
+    np.testing.assert_allclose(snap[rows, cols], truth[rows, cols], rtol=1e-6)
+
+
+def test_flush_is_lazy_and_idempotent(si):
+    si.ingest([1], [2], [-4.0])
+    assert si._staged == 1
+    assert si.flush() == 1
+    assert si.flush() == 0
+    assert si.snapshot()[1, 2] == pytest.approx(-4.0)
+
+
 def test_window_clamps_at_edges(si):
     tile, (r0, c0) = si.window_fill(0, 0)
     assert (r0, c0) == (0, 0)
