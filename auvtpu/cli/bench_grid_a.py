@@ -51,6 +51,11 @@ def main(argv=None):
                    help="use stencil packs (one gather per query)")
     p.add_argument("--no-packed", dest="packed", action="store_false")
     p.add_argument(
+        "--backend", choices=["xla", "fused"], default="xla",
+        help="kriging/IDW select+solve backend for the packed path: 'fused' "
+        "runs the one-pass VMEM Pallas kernel (pallas/scattered_select.py)",
+    )
+    p.add_argument(
         "--window-radius", type=int, default=2,
         help="candidate window radius for kriging/IDW; 2 is exact on fully-"
         "valid grids (the k<=8 nearest cells always lie within Chebyshev 2)",
@@ -61,10 +66,18 @@ def main(argv=None):
         "arbitrary coordinates (f64 ring selection, ops/exact.py; enables "
         "x64). v2 = true-k-nearest production semantics.",
     )
+    p.add_argument("--debug", action="store_true",
+                   help="sanitizer mode: jax_debug_nans (SURVEY.md §5)")
+    p.add_argument("--debug-eager", action="store_true",
+                   help="NaN checking + jit disabled (step-through mode)")
     args = p.parse_args(argv)
 
     import jax
 
+    if args.debug or args.debug_eager:
+        from ..utils.debug import enable_debug
+
+        enable_debug(nans=True, disable_jit=args.debug_eager)
     if args.selection == "exact":
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -134,15 +147,27 @@ def main(argv=None):
         sp = StencilPack(grid, window_radius=min(R, 2))
         # fully-observed grid => single-reduction fast path (no fallback pass)
         av = bool(np.isfinite(np.asarray(elev)).all())
+        if args.backend == "fused":
+            from ..pallas import pallas_packed_idw, pallas_packed_kriging
+
+            krig = lambda g, lo, la: pallas_packed_kriging(
+                sp.window, g, lo, la, window_radius=sp.window_radius
+            )
+            idw = lambda g, lo, la: pallas_packed_idw(
+                sp.window, g, lo, la, window_radius=sp.window_radius
+            )
+        else:
+            krig = lambda g, lo, la: packed_kriging(
+                sp.window, g, lo, la, window_radius=sp.window_radius
+            )
+            idw = lambda g, lo, la: packed_idw(
+                sp.window, g, lo, la, window_radius=sp.window_radius
+            )
         ops = {
             "Bilinear": lambda g, lo, la: packed_bilinear(sp.bilinear, g, lo, la, assume_valid=av),
             "Cubic": lambda g, lo, la: packed_bicubic(sp.bicubic, g, lo, la, assume_valid=av),
-            "Kriging": lambda g, lo, la: packed_kriging(
-                sp.window, g, lo, la, window_radius=sp.window_radius
-            ),
-            "IDW": lambda g, lo, la: packed_idw(
-                sp.window, g, lo, la, window_radius=sp.window_radius
-            ),
+            "Kriging": krig,
+            "IDW": idw,
         }
     else:
         # windowed ops materialize (N, (2R+1)^2) candidates: chunk big

@@ -77,10 +77,18 @@ def main(argv=None):
         "swap tie-breaks, GridH.cpp:24-140) — reproduces the published error "
         "tables from chip runs (enables f64 for the kriging solve)",
     )
+    p.add_argument("--debug", action="store_true",
+                   help="sanitizer mode: jax_debug_nans (SURVEY.md §5)")
+    p.add_argument("--debug-eager", action="store_true",
+                   help="NaN checking + jit disabled (step-through mode)")
     args = p.parse_args(argv)
 
     import jax
 
+    if args.debug or args.debug_eager:
+        from ..utils.debug import enable_debug
+
+        enable_debug(nans=True, disable_jit=args.debug_eager)
     if args.selection == "exact":
         # the 5x5 kriging solve needs f64 for published-table parity (an f32
         # Gauss-Jordan shifts MAE by ~2e-3 m); selection itself is f32-exact

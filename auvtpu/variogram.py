@@ -79,7 +79,10 @@ def _pair_sums_binned(elev, valid, n_base_rows: int, dys, dxs, bin_of, n_out: in
         c = c.at[b].add(jnp.sum(both))
         return (s, c), None
 
-    zero = jnp.zeros((n_out,), elev.dtype)
+    # derive the carry init FROM the (possibly device-varying) planes: under
+    # shard_map a plain jnp.zeros is 'invariant' while the body's outputs are
+    # 'varying' over the mesh axis, and scan rejects the carry type mismatch
+    zero = jnp.broadcast_to(base_v[0, 0] * 0, (n_out,)).astype(elev.dtype)
     (s, c), _ = jax.lax.scan(
         body, (zero, zero), (jnp.asarray(dys), jnp.asarray(dxs), jnp.asarray(bin_of))
     )

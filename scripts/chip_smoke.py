@@ -1,0 +1,147 @@
+"""Real-chip parity smoke: every device op vs its float64 oracle, ON the TPU.
+
+The CPU test suite (tests/, JAX_PLATFORMS=cpu) proves semantics; this script
+proves the CHIP agrees — it exists because a silent bf16 matmul default
+scrambled scattered kNN neighbors on hardware for a full round while every
+CPU test stayed green (docs/RESULTS.md round-2 bf16 note; NEXTSTEPS #9).
+
+Run it after any compute-path change, serialized with other chip work:
+
+    python scripts/chip_smoke.py            # ~1 min warm, ~5 min cold cache
+
+Prints one PASS/FAIL line per surface and exits nonzero on any FAIL.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FAILED = []
+
+
+def check(name, ok, detail=""):
+    status = "PASS" if ok else "FAIL"
+    print(f"[{status}] {name} {detail}", flush=True)
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {dev.device_kind}", flush=True)
+    if dev.platform == "cpu":
+        print("WARNING: no accelerator — this smoke is meant for the chip", flush=True)
+
+    import jax.numpy as jnp
+
+    from auvtpu.config import Extent
+    from auvtpu.golden import GoldenGrid
+    from auvtpu.golden.v2 import GoldenV2
+    from auvtpu.grid import RegularGrid
+    from auvtpu.masking import mask_grid
+    from auvtpu.synthetic import shelf_seamount
+
+    H, W = 256, 320
+    ext = Extent(-74.0, -70.0, 35.0, 38.0)
+    elev_full = shelf_seamount(H, W)
+    reduced, rc, held = mask_grid(elev_full, 0.15, seed=11)
+    grid = RegularGrid.from_nan_array(reduced, ext)
+    gv2 = GoldenV2(reduced, ext.min_lon, ext.max_lon, ext.min_lat, ext.max_lat)
+    gref = GoldenGrid(reduced, ext.min_lon, ext.max_lon, ext.min_lat, ext.max_lat)
+
+    rng = np.random.default_rng(0)
+    n = 20_000
+    lons = rng.uniform(ext.min_lon, ext.max_lon, n)
+    lats = rng.uniform(ext.min_lat, ext.max_lat, n)
+    lo32 = jnp.asarray(lons, jnp.float32)
+    la32 = jnp.asarray(lats, jnp.float32)
+
+    def close(got, want, atol):
+        got = np.asarray(got, np.float64)
+        nan_ok = (np.isnan(got) == np.isnan(want)).all()
+        m = ~np.isnan(want) & ~np.isnan(got)
+        err = float(np.abs(got[m] - want[m]).max()) if m.any() else 0.0
+        return nan_ok and err < atol, f"maxabs={err:.2e}"
+
+    span = float(np.nanmax(reduced) - np.nanmin(reduced))
+    tol = 5e-5 * max(1.0, float(np.nanmax(np.abs(reduced))))
+
+    # ---- scattered packed ops vs v2 oracle -------------------------------
+    from auvtpu.ops.packs import (
+        StencilPack, packed_bilinear, packed_bicubic, packed_idw, packed_kriging,
+    )
+
+    sp = StencilPack(grid, window_radius=2)
+    got = packed_bilinear(sp.bilinear, grid, lo32[:2000], la32[:2000])
+    check("packed_bilinear", *close(got, gref.bilinear(lons[:2000], lats[:2000]), tol))
+
+    want_kr = gv2.kriging(lons[:2000], lats[:2000])
+    got = packed_kriging(sp.window, grid, lo32[:2000], la32[:2000])
+    check("packed_kriging", *close(got, want_kr, tol))
+
+    want_id = gv2.idw(lons[:2000], lats[:2000], k=8)
+    got = packed_idw(sp.window, grid, lo32[:2000], la32[:2000])
+    check("packed_idw", *close(got, want_id, tol))
+
+    # ---- fused Pallas scattered kernels vs the packed XLA path -----------
+    from auvtpu.pallas import pallas_packed_idw, pallas_packed_kriging
+
+    a = np.asarray(packed_kriging(sp.window, grid, lo32, la32))
+    b = np.asarray(pallas_packed_kriging(sp.window, grid, lo32, la32))
+    check("pallas_packed_kriging vs packs", *close(b, a, 1e-3))
+    a = np.asarray(packed_idw(sp.window, grid, lo32, la32))
+    b = np.asarray(pallas_packed_idw(sp.window, grid, lo32, la32))
+    check("pallas_packed_idw vs packs", *close(b, a, 1e-3))
+
+    # ---- dense fills: fused Pallas kernel vs the XLA plane pipeline ------
+    from auvtpu.ops import fill_kriging
+    from auvtpu.pallas import pallas_fill_kriging
+
+    a = np.asarray(fill_kriging(grid, backend="xla"))
+    b = np.asarray(pallas_fill_kriging(grid))
+    check("pallas_fill_kriging vs xla", *close(b, a, 0.05))
+
+    # ---- exact mode: published-style digit parity from the chip ----------
+    from auvtpu.ops.exact import exact_kriging_at_cells
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        grid64 = RegularGrid.from_nan_array(reduced, ext, dtype=np.float64)
+        got = exact_kriging_at_cells(grid64, rc[:3000, 0], rc[:3000, 1])
+        qlon = ext.min_lon + rc[:3000, 1] * gref.lon_step
+        qlat = ext.min_lat + rc[:3000, 0] * gref.lat_step
+        want = gref.kriging(qlon, qlat)
+        check("exact_kriging_at_cells vs golden", *close(got, want, 1e-8 * span))
+
+        from auvtpu.ops.exact import exact_kriging_scattered
+
+        got = exact_kriging_scattered(grid64, lons[:2000], lats[:2000])
+        want = gref.kriging(lons[:2000], lats[:2000])
+        check("exact_kriging_scattered vs golden", *close(got, want, 1e-8 * span))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    # ---- scattered prototype kNN (the bf16 regression surface) -----------
+    from auvtpu.scattered import knn_search
+
+    pts = rng.uniform(0, 1, (4000, 2)).astype(np.float32) + np.array(
+        [-73.0, 35.0], np.float32
+    )
+    tgt = pts[:500] + 0.001
+    d2, idx = knn_search(jnp.asarray(tgt), jnp.asarray(pts), k=8)
+    full = ((tgt.astype(np.float64)[:, None] - pts.astype(np.float64)[None]) ** 2).sum(-1)
+    want = np.sort(full, axis=1)[:, :8]
+    err = float(np.abs(np.sort(np.asarray(d2), axis=1) - want).max())
+    check("knn_search f32 on-chip", err < 1e-5, f"maxabs={err:.2e}")
+
+    print(f"\n{len(FAILED)} failures" + (f": {FAILED}" if FAILED else ""), flush=True)
+    sys.exit(1 if FAILED else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,46 @@ def test_bench_grid_a_cli(tmp_path):
     assert up.shape == (79, 99)
 
 
+def test_bench_grid_a_cli_selection_exact(tmp_path):
+    # exact mode must validate against the golden (reference) oracle at the
+    # tight 1e-9 tolerance — main() exits nonzero on a validation failure
+    import jax
+
+    from auvtpu.cli.bench_grid_a import main
+
+    grid = str(tmp_path / "grid.npy")
+    np.save(grid, shelf_seamount(36, 44))
+    results = str(tmp_path / "res_exact.csv")
+    old = jax.config.jax_enable_x64
+    try:
+        main([
+            "--grid-csv", grid, "--batch-sizes", "300", "--results", results,
+            "--selection", "exact",
+        ])
+    finally:
+        jax.config.update("jax_enable_x64", old)
+    df = pd.read_csv(results)
+    assert set(df["InterpolationType"]) == {"Bilinear", "Cubic", "Kriging"}
+
+
+def test_bench_grid_a_cli_fused_backend(tmp_path):
+    # the fused Pallas scattered backend through the CLI (interpret mode)
+    from jax.experimental.pallas import tpu as pltpu
+
+    from auvtpu.cli.bench_grid_a import main
+
+    grid = str(tmp_path / "grid.npy")
+    np.save(grid, shelf_seamount(40, 50))
+    results = str(tmp_path / "res_fused.csv")
+    with pltpu.force_tpu_interpret_mode():
+        main([
+            "--grid-csv", grid, "--batch-sizes", "300", "--results", results,
+            "--methods", "Kriging", "IDW", "--backend", "fused",
+        ])
+    df = pd.read_csv(results)
+    assert len(df) == 2
+
+
 def test_bench_grid_b_cli_with_csv_inputs(tmp_path):
     from auvtpu.cli.bench_grid_b import main
     from auvtpu.io import write_reference_missing
