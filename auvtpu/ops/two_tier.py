@@ -42,11 +42,18 @@ def _resolved_mask_jit(pack, grid, lons, lats, *, k, conv, thresh):
 class TwoTierInterpolator:
     """Reusable scattered-query engine over a (possibly masked) grid."""
 
-    def __init__(self, grid: RegularGrid, *, convention: str = "reference", escalate_cap: int = 1 << 14):
+    def __init__(self, grid: RegularGrid, *, convention: str = "reference", escalate_cap: int = 1 << 14, backend: str = "xla"):
+        """backend='fused' routes the fast path through the one-VMEM-pass
+        Pallas select+solve kernels (pallas/scattered_select.py); 'xla' is
+        the packed top_k + one-hot einsum path.  Escalation and the resolved
+        mask are backend-independent (identical v2 semantics)."""
         self.grid = grid
         self.convention = convention
         self.pack = StencilPack(grid, window_radius=2)
         self.escalate_cap = escalate_cap
+        if backend not in ("xla", "fused"):
+            raise ValueError(backend)
+        self.backend = backend
 
     def _outside_min_d2(self):
         """Infimum of the squared distance from ANY query position inside the
@@ -103,11 +110,20 @@ class TwoTierInterpolator:
         return out
 
     def kriging(self, lons, lats):
-        return self._run(
-            lambda lo, la: packed_kriging(
+        if self.backend == "fused":
+            from ..pallas import pallas_packed_kriging
+
+            fast = lambda lo, la: pallas_packed_kriging(
                 self.pack.window, self.grid, lo, la,
                 window_radius=2, convention=self.convention,
-            ),
+            )
+        else:
+            fast = lambda lo, la: packed_kriging(
+                self.pack.window, self.grid, lo, la,
+                window_radius=2, convention=self.convention,
+            )
+        return self._run(
+            fast,
             lambda lo, la: scattered_kriging(
                 self.grid, lo, la, max_radius=10, convention=self.convention
             ),
@@ -115,11 +131,20 @@ class TwoTierInterpolator:
         )
 
     def idw(self, lons, lats, k: int = 8):
-        return self._run(
-            lambda lo, la: packed_idw(
+        if self.backend == "fused":
+            from ..pallas import pallas_packed_idw
+
+            fast = lambda lo, la: pallas_packed_idw(
                 self.pack.window, self.grid, lo, la, k=k,
                 window_radius=2, convention=self.convention,
-            ),
+            )
+        else:
+            fast = lambda lo, la: packed_idw(
+                self.pack.window, self.grid, lo, la, k=k,
+                window_radius=2, convention=self.convention,
+            )
+        return self._run(
+            fast,
             lambda lo, la: scattered_idw(
                 self.grid, lo, la, k=k, max_radius=10, convention=self.convention
             ),

@@ -188,6 +188,21 @@ def test_figures_cli(tmp_path):
     assert os.path.exists(str(tmp_path / "plots" / "grid_a_runtimes.png"))
 
 
+def test_stream_demo_cli(tmp_path):
+    from auvtpu.cli.stream_demo import main
+
+    out = str(tmp_path / "mosaic.npy")
+    rmse, span = main([
+        "--mosaic", "192", "192", "--steps", "40", "--beams", "96",
+        "--fill-every", "20", "--window", "96", "--out-npy", out,
+    ])
+    # observed-cell error is bounded by the sounding noise (default 0.5 m)
+    assert rmse < 1.0
+    snap = np.load(out)
+    assert snap.shape == (192, 192)
+    assert np.isfinite(snap).any()
+
+
 def test_prototype_cli(capsys):
     from auvtpu.cli.prototype import main
 

@@ -166,3 +166,23 @@ def test_packed_assume_valid_matches_general_on_valid_grid():
         a = np.asarray(fn(pack, grid, lons, lats, assume_valid=True))
         b = np.asarray(fn(pack, grid, lons, lats))
         np.testing.assert_array_equal(a, b)
+
+
+def test_two_tier_fused_backend_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from auvtpu.ops import TwoTierInterpolator
+
+    grid = _mk(masked=True)
+    lons, lats = _queries(400, seed=21)
+    a = TwoTierInterpolator(grid, backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        b = TwoTierInterpolator(grid, backend="fused")
+        got_k = np.asarray(b.kriging(lons, lats))
+        got_i = np.asarray(b.idw(lons, lats))
+    want_k = np.asarray(a.kriging(lons, lats))
+    want_i = np.asarray(a.idw(lons, lats))
+    for got, want in [(got_k, want_k), (got_i, want_i)]:
+        assert (np.isnan(got) == np.isnan(want)).all()
+        m = ~np.isnan(want)
+        np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-3)
