@@ -54,6 +54,41 @@ def load_workload():
     return reduced, rc, truth
 
 
+def wait_for_device(max_wait_s: float = 900.0):
+    """The axon tunnel flaps occasionally (observed r2: backend down for
+    ~an hour); a transient outage must not junk the round's headline.
+
+    Probe with SUBPROCESSES first: a failed in-process backend init is
+    cached by jax.xla_bridge, so this process must not touch jax.devices()
+    until a fresh interpreter confirms the backend answers.
+    """
+    import subprocess
+
+    t0 = time.time()
+    delay = 10.0
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=180,
+            )
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            break
+        if time.time() - t0 > max_wait_s:
+            log("device backend still down after budget; proceeding (will fail loudly)")
+            break
+        log(f"device backend not ready; retrying in {delay:.0f}s")
+        time.sleep(delay)
+        delay = min(delay * 1.5, 60.0)
+    import jax
+
+    devs = jax.devices()
+    log(f"device: {devs[0].platform} {getattr(devs[0], 'device_kind', '')}")
+
+
 def main():
     t_setup = time.time()
     import jax
@@ -61,6 +96,8 @@ def main():
 
     from auvtpu.config import KERGUELEN_EXTENT
     from auvtpu.grid import RegularGrid
+
+    wait_for_device()
 
 
     reduced, rc, truth = load_workload()
