@@ -210,11 +210,20 @@ def kriging_knn(points_xy, points_val, targets_xy, *, k: int = 50, vparams=None,
     OK, the reference prototype's configuration).
 
     aniso: optional (nugget, sill, rx, ry, theta) from
-    variogram.fit_anisotropic — coordinates are transformed by the ellipse
-    metric (variogram.anisotropy_matrix) so both the kNN search and the
-    kriging system use correlation distance; vparams becomes
+    variogram.fit_anisotropic / fit_variogram_scattered_aniso, or the string
+    'fit' to fit it from the data — coordinates are transformed by the
+    ellipse metric (variogram.anisotropy_matrix) so both the kNN search and
+    the kriging system use correlation distance; vparams becomes
     (nugget, sill, 1).  Mutually exclusive with vparams.
     """
+    if isinstance(aniso, str):
+        if aniso != "fit":
+            raise ValueError(aniso)
+        aniso = tuple(
+            float(v) for v in fit_variogram_scattered_aniso(
+                jnp.asarray(points_xy), jnp.asarray(points_val), model=model
+            )
+        )
     if aniso is not None:
         from .variogram import anisotropy_matrix
 
@@ -261,6 +270,57 @@ def _scattered_semivariance(
     gamma = jnp.where(c > 0, s / (2.0 * jnp.maximum(c, 1.0)), 0.0)
     centers = 0.5 * (edges[:-1] + edges[1:])
     return centers, gamma, c
+
+
+@partial(jax.jit, static_argnames=("n_bins", "n_sectors", "max_pairs_sqrt", "short_frac"))
+def _scattered_semivariance_directional(
+    points_xy, points_val, *, n_bins: int = 10, n_sectors: int = 4,
+    max_pairs_sqrt: int = 2048, short_frac: float = 0.1,
+):
+    """Directional (azimuth-sector x lag) semivariance over sampled point
+    pairs — the scattered analog of variogram.empirical_variogram_directional
+    (short-lag restriction as in _scattered_semivariance)."""
+    m = min(points_xy.shape[0], max_pairs_sqrt)
+    xy = points_xy[:m]
+    xy = xy - jnp.mean(xy, axis=0, keepdims=True)
+    v = points_val[:m]
+    dx = xy[:, None, 0] - xy[None, :, 0]
+    dy = xy[:, None, 1] - xy[None, :, 1]
+    d = jnp.sqrt(dx * dx + dy * dy)
+    dv = (v[:, None] - v[None, :]) ** 2
+    dmax = jnp.max(jnp.where(jnp.isfinite(d), d, 0.0)) * short_frac
+    edges = jnp.linspace(0.0, dmax + 1e-9, n_bins + 1)
+    lag_bin = jnp.clip(jnp.searchsorted(edges, d) - 1, 0, n_bins - 1)
+    ang = jnp.mod(jnp.arctan2(dy, dx), np.pi)
+    sector = jnp.clip(
+        jnp.floor(ang / (np.pi / n_sectors)).astype(jnp.int32), 0, n_sectors - 1
+    )
+    flat = sector * n_bins + lag_bin
+    off_diag = ~jnp.eye(m, dtype=bool) & (d < dmax)
+    n_out = n_sectors * n_bins
+    s = jnp.zeros((n_out,), d.dtype).at[flat].add(jnp.where(off_diag, dv, 0.0))
+    c = jnp.zeros((n_out,), d.dtype).at[flat].add(off_diag.astype(d.dtype))
+    s = s.reshape(n_sectors, n_bins)
+    c = c.reshape(n_sectors, n_bins)
+    gamma = jnp.where(c > 0, s / (2.0 * jnp.maximum(c, 1.0)), 0.0)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    angles = jnp.asarray((np.arange(n_sectors) + 0.5) * np.pi / n_sectors, d.dtype)
+    return centers, angles, gamma, c
+
+
+def fit_variogram_scattered_aniso(
+    points_xy, points_val, *, n_bins: int = 10, n_sectors: int = 4,
+    model: str = "exponential", iters: int = 40,
+):
+    """Directional semivariance + anisotropic ellipse fit for a scattered
+    point cloud.  Returns (nugget, sill, rx, ry, theta) — feed straight into
+    kriging_knn(aniso=...)."""
+    from .variogram import fit_anisotropic
+
+    lags, angles, gamma, counts = _scattered_semivariance_directional(
+        points_xy, points_val, n_bins=n_bins, n_sectors=n_sectors
+    )
+    return fit_anisotropic(lags, angles, gamma, counts, model=model, iters=iters)
 
 
 def fit_variogram_scattered(points_xy, points_val, *, n_bins: int = 12, model: str = "exponential"):
