@@ -207,3 +207,41 @@ class StreamingInterpolator:
         elev = np.asarray(self.elev, np.float64)
         valid = np.asarray(self.valid) > 0.5
         return np.where(valid, elev, np.nan)
+
+    def save(self, path: str) -> None:
+        """Checkpoint the mosaic (survey pause / vehicle recovery): flushes
+        staged observations, then writes (elev, valid, extent) as one npz."""
+        self.flush()
+        np.savez_compressed(
+            path,
+            elev=np.asarray(self.elev),
+            valid=np.asarray(self.valid),
+            extent=np.asarray(self._meta, np.float64),
+            window=np.asarray(self.window, np.int64),
+            method=np.asarray(self.method),
+            k=np.asarray(self.k),
+            max_radius=np.asarray(self.max_radius),
+        )
+
+    @classmethod
+    def load(cls, path: str, *, swath_cap: int = 4096, stage_slots: int = 16):
+        """Resume a checkpointed survey: restores mosaic planes and fill
+        configuration; staging starts empty."""
+        from .config import Extent
+
+        d = np.load(path)
+        min_lon, max_lon, min_lat, max_lat = (float(v) for v in d["extent"])
+        si = cls(
+            d["elev"].shape,
+            Extent(min_lon, max_lon, min_lat, max_lat),
+            swath_cap=swath_cap,
+            stage_slots=stage_slots,
+            window=tuple(int(v) for v in d["window"]),
+            method=str(d["method"]),
+            k=int(d["k"]),
+            max_radius=int(d["max_radius"]),
+            dtype=d["elev"].dtype,
+        )
+        si.elev = jnp.asarray(d["elev"])
+        si.valid = jnp.asarray(d["valid"])
+        return si

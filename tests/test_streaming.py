@@ -132,3 +132,23 @@ def test_window_clamps_at_edges(si):
     assert (r0, c0) == (0, 0)
     tile, (r0, c0) = si.window_fill(511, 511)
     assert (r0, c0) == (512 - 64, 512 - 64)
+
+
+def test_save_load_roundtrip(si, tmp_path):
+    truth = shelf_seamount(512, 512)
+    r = np.random.RandomState(8)
+    rows = r.randint(0, 512, 800)
+    cols = r.randint(0, 512, 800)
+    si.ingest(rows, cols, truth[rows, cols])
+    path = str(tmp_path / "mosaic.npz")
+    si.save(path)
+
+    from auvtpu.streaming import StreamingInterpolator
+
+    si2 = StreamingInterpolator.load(path)
+    assert si2.shape == si.shape
+    assert si2.window == si.window and si2.method == si.method
+    np.testing.assert_array_equal(si2.snapshot(), si.snapshot())
+    # resumed instance keeps working: new observations land on the mosaic
+    si2.ingest([3], [4], [-42.0])
+    assert si2.snapshot()[3, 4] == pytest.approx(-42.0)
