@@ -22,7 +22,11 @@ from .window_fill import (
     pallas_fill_kriging,
     pallas_available,
 )
-from .scattered_select import pallas_packed_kriging, pallas_packed_idw
+from .scattered_select import (
+    pallas_packed_kriging,
+    pallas_packed_idw,
+    pallas_window_select,
+)
 
 __all__ = [
     "pallas_fill_idw",

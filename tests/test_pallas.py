@@ -123,6 +123,26 @@ def pack(grid):
     return StencilPack(grid, window_radius=2)
 
 
+def test_pallas_window_select_matches_packs(grid, pack, scattered_queries):
+    from auvtpu.ops.packs import packed_window_select
+    from auvtpu.pallas import pallas_window_select
+
+    lons, lats = scattered_queries
+    want = packed_window_select(pack.window, grid, lons, lats, k=4, window_radius=2)
+    with _interp():
+        got = pallas_window_select(pack.window, grid, lons, lats, k=4, tile_n=256)
+    np.testing.assert_array_equal(np.asarray(got["found"]), np.asarray(want["found"]))
+    ok = np.asarray(want["slot_ok"])
+    np.testing.assert_array_equal(np.asarray(got["slot_ok"]), ok)
+    for key in ("val", "dx", "dy"):
+        np.testing.assert_allclose(
+            np.asarray(got[key])[ok], np.asarray(want[key])[ok], rtol=1e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(got["d2"])[ok], np.asarray(want["d2"])[ok], rtol=1e-5, atol=1e-6
+    )
+
+
 def test_pallas_packed_kriging_matches_packs(grid, pack, scattered_queries):
     from auvtpu.ops.packs import packed_kriging
     from auvtpu.pallas import pallas_packed_kriging
