@@ -41,6 +41,11 @@ def main(argv=None):
         help="kriging local trend removal (krige residuals about a weighted "
         "plane; 'none' = plain ordinary kriging like the prototype)",
     )
+    p.add_argument(
+        "--aniso", action="store_true",
+        help="kriging only: fit a directional ellipse (nugget, sill, rx, ry, "
+        "theta) from the samples and krige in correlation distance",
+    )
     args = p.parse_args(argv)
 
     elev, ext = load_region(args.region, args.gebco_root)
@@ -52,6 +57,7 @@ def main(argv=None):
         pred, sample_mask = sample_and_reconstruct(
             elev, ext, subset_fraction=args.subset, method=method, k=args.k,
             seed=args.seed, model=args.model, trend=args.trend,
+            aniso=args.aniso and method == "kriging",
         )
         dt = time.time() - t0
         hold = ~sample_mask  # score on non-sample cells (test_interpolation.py:111-146)

@@ -351,11 +351,13 @@ def sample_and_reconstruct(
     target_chunk: int = 1 << 16,
     model: str = "exponential",
     trend: str = "plane",
+    aniso: bool = False,
 ):
     """Sample ``subset_fraction`` of the grid cells (seeded, like
     interpolate()'s df.sample(random_state=42), test_interpolation.py:49) and
     re-predict every grid cell from the samples.  Returns (pred (H, W),
-    sample_mask (H, W) bool)."""
+    sample_mask (H, W) bool).  aniso=True (kriging only) fits a directional
+    ellipse and kriges in correlation distance."""
     H, W = elev.shape
     rng = np.random.RandomState(seed)
     n = int(H * W * subset_fraction)
@@ -379,16 +381,29 @@ def sample_and_reconstruct(
         "kriging": None,
     }[method]
     if method == "kriging":
-        fitted = fit_variogram_scattered(
-            jnp.asarray(pts_xy), jnp.asarray(pts_val), model=model
-        )
-        if model == "best":
-            model, vparams = fitted
+        if aniso:
+            ap = tuple(
+                float(v) for v in fit_variogram_scattered_aniso(
+                    jnp.asarray(pts_xy), jnp.asarray(pts_val),
+                    model=model if model != "best" else "exponential",
+                )
+            )
+            fn = lambda t: kriging_knn(
+                pts_xy, pts_val, t, k=k,
+                model=model if model != "best" else "exponential",
+                trend=trend, aniso=ap,
+            )
         else:
-            vparams = fitted
-        fn = lambda t: kriging_knn(
-            pts_xy, pts_val, t, k=k, vparams=vparams, model=model, trend=trend
-        )
+            fitted = fit_variogram_scattered(
+                jnp.asarray(pts_xy), jnp.asarray(pts_val), model=model
+            )
+            if model == "best":
+                model, vparams = fitted
+            else:
+                vparams = fitted
+            fn = lambda t: kriging_knn(
+                pts_xy, pts_val, t, k=k, vparams=vparams, model=model, trend=trend
+            )
 
     out = np.empty(H * W, np.float32)
     for s in range(0, H * W, target_chunk):

@@ -60,22 +60,37 @@ def wait_for_device(max_wait_s: float = 900.0):
 
     Probe with SUBPROCESSES first: a failed in-process backend init is
     cached by jax.xla_bridge, so this process must not touch jax.devices()
-    until a fresh interpreter confirms the backend answers.
+    until a fresh interpreter confirms a backend answers.  The tunnel has
+    two personalities — the 'axon' plugin (default env) and the raw 'tpu'
+    platform via libtpu — and outages have been observed where one
+    recovers before the other, so probe both.
     """
+    import os
     import subprocess
+
+    def probe(platforms):
+        env = dict(os.environ)
+        if platforms is not None:
+            env["JAX_PLATFORMS"] = platforms
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()[0].platform != 'cpu'"],
+                capture_output=True, timeout=180, env=env,
+            )
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
 
     t0 = time.time()
     delay = 10.0
+    platform = None
     while True:
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, timeout=180,
-            )
-            ok = r.returncode == 0
-        except subprocess.TimeoutExpired:
-            ok = False
-        if ok:
+        if probe(None):
+            platform = None
+            break
+        if probe("tpu"):
+            platform = "tpu"
             break
         if time.time() - t0 > max_wait_s:
             log("device backend still down after budget; proceeding (will fail loudly)")
@@ -85,6 +100,8 @@ def wait_for_device(max_wait_s: float = 900.0):
         delay = min(delay * 1.5, 60.0)
     import jax
 
+    if platform is not None:
+        jax.config.update("jax_platforms", platform)
     devs = jax.devices()
     log(f"device: {devs[0].platform} {getattr(devs[0], 'device_kind', '')}")
 
