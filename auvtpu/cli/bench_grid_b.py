@@ -77,6 +77,14 @@ def main(argv=None):
         "swap tie-breaks, GridH.cpp:24-140) — reproduces the published error "
         "tables from chip runs (enables f64 for the kriging solve)",
     )
+    p.add_argument(
+        "--variogram-model", default="exponential",
+        choices=["exponential", "linear", "spherical", "gaussian"],
+        help="kriging variogram model; non-exponential models FIT their "
+        "params from the masked grid's empirical variogram (the reference "
+        "constants nugget=1/sill=100/range=10 are exponential-only, "
+        "GridH.cpp:371-376)",
+    )
     p.add_argument("--debug", action="store_true",
                    help="sanitizer mode: jax_debug_nans (SURVEY.md §5)")
     p.add_argument("--debug-eager", action="store_true",
@@ -140,11 +148,28 @@ def main(argv=None):
         }
         args.methods = [m for m in args.methods if m in ops]
     else:
+        vmodel = args.variogram_model
+        vparams = None
+        if vmodel != "exponential":
+            # the reference constants are exponential-only: fit this model
+            # to the masked grid's own empirical variogram
+            from ..variogram import empirical_variogram, fit_model
+
+            lags_e, gamma_e, counts_e = empirical_variogram(grid)
+            step = 0.5 * (abs(grid.lat_step) + abs(grid.lon_step))
+            vparams = fit_model(lags_e * step, gamma_e, counts_e, model=vmodel)
+            machine = f"{machine}-{vmodel}"
+            print(
+                f"fitted {vmodel} variogram: "
+                + " ".join(f"{float(v):.4g}" for v in vparams),
+                flush=True,
+            )
         ops = {
             "Bilinear": lambda: at_cells(fill_bilinear(grid)),
             "Cubic": lambda: at_cells(fill_window_mean(grid, k=4, convention=conv)),
             "Kriging": lambda: kriging_at_cells(
-                grid, rows, cols, convention=conv, backend=args.backend
+                grid, rows, cols, convention=conv, backend=args.backend,
+                vparams=vparams, model=vmodel,
             ),
             "IDW": lambda: at_cells(fill_idw(grid, k=args.idw_k, convention=conv)),
         }

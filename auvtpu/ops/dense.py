@@ -329,7 +329,7 @@ def window_topk_planes(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, c
     return state
 
 
-def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vparams=None, convention="reference"):
+def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vparams=None, convention="reference", model="exponential"):
     """Batched kriging solve given selected-slot data at given cells.
 
     cols/rows: (N,) float cell coordinates (global); slot inputs are (N, K).
@@ -348,13 +348,13 @@ def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vpar
     qlat = grid.min_lat + rows * lat_step
     cx = grid.min_lon + (cols[:, None] + dxs + half) * lon_step
     cy = grid.min_lat + (rows[:, None] + dys + half) * lat_step
-    pred, singular = krige_solve(qlon, qlat, vals, cx, cy, KrigingConfig(), vparams=vparams)
+    pred, singular = krige_solve(qlon, qlat, vals, cx, cy, KrigingConfig(), vparams=vparams, model=model)
     fb = jnp.where(cnt > 0, vals.sum(axis=1) / jnp.maximum(cnt, 1.0), jnp.nan)
     return jnp.where(singular | (cnt < 4), fb, pred)
 
 
-@partial(jax.jit, static_argnames=("max_radius", "convention", "backend"))
-def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, col0=0, steps=None, vparams=None, convention: str = "reference", backend: str = "xla"):
+@partial(jax.jit, static_argnames=("max_radius", "convention", "backend", "model"))
+def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, col0=0, steps=None, vparams=None, convention: str = "reference", backend: str = "xla", model: str = "exponential"):
     """Ordinary-kriging fill plane: first-4-valid selection (window_topk_planes),
     then a batched 5x5 solve per cell (weights depend on the *geometry* of the
     selected offsets, kernels.cu:478-546).
@@ -388,12 +388,13 @@ def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, col0=0, ste
         steps=steps,
         vparams=vparams,
         convention=convention,
+        model=model,
     )
     return out.reshape(H, W)
 
 
-@partial(jax.jit, static_argnames=("max_radius", "convention", "backend"))
-def kriging_at_cells(grid: RegularGrid, rows, cols, *, max_radius: int = 10, vparams=None, convention: str = "reference", backend: str = "xla"):
+@partial(jax.jit, static_argnames=("max_radius", "convention", "backend", "model"))
+def kriging_at_cells(grid: RegularGrid, rows, cols, *, max_radius: int = 10, vparams=None, convention: str = "reference", backend: str = "xla", model: str = "exponential"):
     """Kriging predictions at an explicit cell list (Grid B workload).
 
     Computes the dense fill plane and takes the requested cells: the fused
@@ -404,11 +405,13 @@ def kriging_at_cells(grid: RegularGrid, rows, cols, *, max_radius: int = 10, vpa
         from ..pallas import pallas_fill_kriging
 
         plane = pallas_fill_kriging(
-            grid, max_radius=max_radius, convention=convention, vparams=vparams
+            grid, max_radius=max_radius, convention=convention, vparams=vparams,
+            model=model,
         )
     else:
         plane = fill_kriging(
-            grid, max_radius=max_radius, vparams=vparams, convention=convention, backend=backend
+            grid, max_radius=max_radius, vparams=vparams, convention=convention,
+            backend=backend, model=model,
         )
     rows = jnp.asarray(rows, jnp.int32)
     cols = jnp.asarray(cols, jnp.int32)

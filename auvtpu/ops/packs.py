@@ -309,7 +309,7 @@ def packed_window_select(pack, grid: RegularGrid, lons, lats, *, k, window_radiu
     )
 
 
-def kriging_from_select(grid: RegularGrid, lons, lats, sel, *, vparams=None, convention: str = "reference"):
+def kriging_from_select(grid: RegularGrid, lons, lats, sel, *, vparams=None, convention: str = "reference", model: str = "exponential"):
     """Kriging solve + fallbacks from a window-select dict (shared)."""
     from ..config import KrigingConfig
     from .scattered import krige_solve
@@ -323,7 +323,7 @@ def kriging_from_select(grid: RegularGrid, lons, lats, sel, *, vparams=None, con
     cy = grid.min_lat + (sel["cj"][:, None].astype(dt) + sel["dy"] + half) * lat_step
     pred, singular = krige_solve(
         jnp.asarray(lons, dt), jnp.asarray(lats, dt), sel["val"], cx, cy,
-        KrigingConfig(), vparams=vparams,
+        KrigingConfig(), vparams=vparams, model=model,
     )
     fb = masked_mean(jnp.where(sel["slot_ok"], sel["val"], jnp.nan), sel["slot_ok"])
     out = jnp.where(singular | (sel["found"] < 4), fb, pred)
@@ -338,10 +338,10 @@ def idw_from_select(sel, *, power: float = 2.0, eps: float = 1e-12):
     return jnp.where(sel["oob"], jnp.nan, out)
 
 
-@partial(jax.jit, static_argnames=("window_radius", "convention"))
-def packed_kriging(pack, grid: RegularGrid, lons, lats, *, window_radius: int = 2, vparams=None, convention: str = "reference"):
+@partial(jax.jit, static_argnames=("window_radius", "convention", "model"))
+def packed_kriging(pack, grid: RegularGrid, lons, lats, *, window_radius: int = 2, vparams=None, convention: str = "reference", model: str = "exponential"):
     sel = packed_window_select(pack, grid, lons, lats, k=4, window_radius=window_radius, convention=convention)
-    return kriging_from_select(grid, lons, lats, sel, vparams=vparams, convention=convention)
+    return kriging_from_select(grid, lons, lats, sel, vparams=vparams, convention=convention, model=model)
 
 
 @partial(jax.jit, static_argnames=("k", "power", "window_radius", "convention"))

@@ -162,12 +162,14 @@ def variogram(h, params):
     return nugget + sill * (1.0 - jnp.exp(-h / rng))
 
 
-def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), vparams=None):
+def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), vparams=None, model: str = "exponential"):
     """Vectorized unpivoted Gauss-Jordan on the (N,5,6) ordinary-kriging system
     (GridH.cpp:378-419).  Neighbors at cell-center coords (cx, cy); query at
     its raw coordinate — the reference's half-cell offset is intentional.
 
     vparams: optional traced (nugget, sill, range) overriding cfg.variogram.
+    model: static variogram model name (the reference hardcodes exponential,
+    GridH.cpp:371-376; the zoo in variogram.variogram_model extends it).
     Returns (pred, singular): prediction and the singular-pivot bailout mask.
     """
     vg = (
@@ -175,6 +177,12 @@ def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), 
         if vparams is not None
         else (cfg.variogram.nugget, cfg.variogram.sill, cfg.variogram.range)
     )
+    if model == "exponential":
+        vf = lambda h: variogram(h, vg)
+    else:
+        from ..variogram import variogram_model
+
+        vf = lambda h: variogram_model(h, vg, model)
     n = vals.shape[0]
 
     # Scalar-register formulation: the 5x6 system lives in 30 (N,) vectors so
@@ -188,11 +196,11 @@ def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), 
                 continue
             dx = cx[:, a] - cx[:, b]
             dy = cy[:, a] - cy[:, b]
-            M[a][b] = variogram(jnp.sqrt(dx * dx + dy * dy), vg)
+            M[a][b] = vf(jnp.sqrt(dx * dx + dy * dy))
         M[a][4] = jnp.ones((n,), vals.dtype)
         ddx = cx[:, a] - qlon
         ddy = cy[:, a] - qlat
-        M[a][5] = variogram(jnp.sqrt(ddx * ddx + ddy * ddy), vg)
+        M[a][5] = vf(jnp.sqrt(ddx * ddx + ddy * ddy))
     M[4] = [jnp.ones((n,), vals.dtype)] * 4 + [jnp.zeros((n,), vals.dtype), jnp.ones((n,), vals.dtype)]
     # symmetric aliasing above shares arrays; make row 4 entries independent
     # is unnecessary (they are fresh arrays already)

@@ -198,7 +198,7 @@ def pallas_window_select(
     }
 
 
-@partial(jax.jit, static_argnames=("window_radius", "convention", "tile_n"))
+@partial(jax.jit, static_argnames=("window_radius", "convention", "tile_n", "model"))
 def pallas_packed_kriging(
     pack,
     grid: RegularGrid,
@@ -209,6 +209,7 @@ def pallas_packed_kriging(
     vparams=None,
     convention: str = "reference",
     tile_n: int = 1024,
+    model: str = "exponential",
 ):
     """Fused-selection drop-in for ops.packs.packed_kriging
     (kernels.cu:403-546); the 5x6 solve runs in XLA via the shared
@@ -217,7 +218,9 @@ def pallas_packed_kriging(
         pack, grid, lons, lats,
         k=4, window_radius=window_radius, convention=convention, tile_n=tile_n,
     )
-    return kriging_from_select(grid, lons, lats, sel, vparams=vparams, convention=convention)
+    return kriging_from_select(
+        grid, lons, lats, sel, vparams=vparams, convention=convention, model=model
+    )
 
 
 @partial(jax.jit, static_argnames=("k", "power", "window_radius", "convention", "tile_n"))

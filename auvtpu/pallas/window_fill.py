@@ -456,7 +456,7 @@ def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, til
 # fully-fused kriging fill kernel: selection + 5x6 Gauss-Jordan in VMEM
 # ---------------------------------------------------------------------------
 
-def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int):
+def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, model: str = "exponential"):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -534,7 +534,19 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int):
             vz.append(jnp.where(cnt > s, vals[s], 0.0))
 
         def gamma(h):
-            return nugget + sill * (1.0 - jnp.exp(-h / vrange))
+            # static model branch (variogram.variogram_model's zoo; no powf
+            # in Mosaic, so every model is exp/min/poly based)
+            if model == "exponential":
+                return nugget + sill * (1.0 - jnp.exp(-h / vrange))
+            if model == "linear":
+                return nugget + sill * h
+            if model == "spherical":
+                m_ = jnp.minimum(h / vrange, 1.0)
+                return nugget + sill * (1.5 * m_ - 0.5 * m_ * m_ * m_)
+            if model == "gaussian":
+                hr = h / vrange
+                return nugget + sill * (1.0 - jnp.exp(-(hr * hr)))
+            raise ValueError(model)
 
         one = jnp.ones((th, tw), jnp.float32)
         M = [[None] * 6 for _ in range(5)]
@@ -574,8 +586,8 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("max_radius", "tile", "convention"))
-def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 128), convention: str = "reference", vparams=None):
+@partial(jax.jit, static_argnames=("max_radius", "tile", "convention", "model"))
+def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 128), convention: str = "reference", vparams=None, model: str = "exponential"):
     """Fully-fused ordinary-kriging fill: window selection AND the batched
     5x6 Gauss-Jordan run per tile in VMEM — one HBM read of the grid, one
     write of the prediction plane."""
@@ -614,7 +626,7 @@ def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 12
         jnp.float32,
     )
 
-    kernel = _make_kriging_fill_kernel(R, th, tw, n_chunks)
+    kernel = _make_kriging_fill_kernel(R, th, tw, n_chunks, model)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(Hp // th, Wp // tw),

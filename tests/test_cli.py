@@ -103,6 +103,30 @@ def test_bench_grid_b_cli_with_csv_inputs(tmp_path):
     assert len(pts) == len(vals)
 
 
+def test_bench_grid_b_cli_variogram_model(tmp_path):
+    from auvtpu.cli.bench_grid_b import main
+    from auvtpu.io import write_reference_missing
+    from auvtpu.masking import mask_grid
+
+    elev = shelf_seamount(40, 50)
+    reduced, rc, vals = mask_grid(elev, 0.1, seed=4)
+    rcsv = str(tmp_path / "reduced.csv")
+    mcsv = str(tmp_path / "missing.csv")
+    write_grid_csv(rcsv, reduced)
+    write_reference_missing(mcsv, rc, vals)
+    results = str(tmp_path / "res.csv")
+    main([
+        "--reduced-csv", rcsv, "--reference-csv", mcsv,
+        "--min-lon", "0", "--max-lon", "49", "--min-lat", "0", "--max-lat", "39",
+        "--results", results, "--methods", "Kriging",
+        "--variogram-model", "gaussian",
+    ])
+    df = pd.read_csv(results)
+    assert len(df) == 1
+    assert df["Machine"].iloc[0].endswith("-gaussian")
+    assert np.isfinite(df["RMSE"].iloc[0])
+
+
 def test_analyze_cli(tmp_path):
     from auvtpu.cli.analyze import main
     from auvtpu.io import ResultsWriter

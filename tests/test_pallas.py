@@ -226,3 +226,19 @@ def test_pallas_fused_kriging_centered_matches_xla(grid):
     assert (np.isnan(a) == np.isnan(b)).all()
     both = ~np.isnan(a)
     np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
+
+
+@pytest.mark.parametrize("model", ["spherical", "gaussian", "linear"])
+def test_pallas_fused_kriging_model_zoo_matches_xla(grid, model):
+    from auvtpu.ops import fill_kriging
+    from auvtpu.pallas import pallas_fill_kriging
+
+    vp = (0.5, 120.0, 6.0)
+    with _interp():
+        a = np.asarray(
+            pallas_fill_kriging(grid, max_radius=5, tile=(32, 32), vparams=vp, model=model)
+        )
+    b = np.asarray(fill_kriging(grid, max_radius=5, vparams=vp, model=model))
+    assert (np.isnan(a) == np.isnan(b)).all()
+    both = ~np.isnan(a)
+    np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
