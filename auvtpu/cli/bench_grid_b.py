@@ -79,11 +79,12 @@ def main(argv=None):
     )
     p.add_argument(
         "--variogram-model", default="exponential",
-        choices=["exponential", "linear", "spherical", "gaussian"],
+        choices=["exponential", "linear", "spherical", "gaussian", "best"],
         help="kriging variogram model; non-exponential models FIT their "
         "params from the masked grid's empirical variogram (the reference "
         "constants nugget=1/sill=100/range=10 are exponential-only, "
-        "GridH.cpp:371-376)",
+        "GridH.cpp:371-376); 'best' fits the whole zoo and keeps the "
+        "lowest weighted-SSE model",
     )
     p.add_argument("--debug", action="store_true",
                    help="sanitizer mode: jax_debug_nans (SURVEY.md §5)")
@@ -153,11 +154,15 @@ def main(argv=None):
         if vmodel != "exponential":
             # the reference constants are exponential-only: fit this model
             # to the masked grid's own empirical variogram
-            from ..variogram import empirical_variogram, fit_model
+            from ..variogram import empirical_variogram, fit_best_model, fit_model
 
             lags_e, gamma_e, counts_e = empirical_variogram(grid)
             step = 0.5 * (abs(grid.lat_step) + abs(grid.lon_step))
-            vparams = fit_model(lags_e * step, gamma_e, counts_e, model=vmodel)
+            if vmodel == "best":
+                vmodel, vparams, sse = fit_best_model(lags_e * step, gamma_e, counts_e)
+                print(f"best-fit model: {vmodel} (weighted SSE {sse:.4g})", flush=True)
+            else:
+                vparams = fit_model(lags_e * step, gamma_e, counts_e, model=vmodel)
             machine = f"{machine}-{vmodel}"
             print(
                 f"fitted {vmodel} variogram: "
