@@ -124,13 +124,24 @@ def empirical_variogram(grid: RegularGrid, *, max_lag: int = 10, n_bins: int = 1
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=8)
-def _sector_bin_table(max_lag: int, n_bins: int, n_sectors: int):
+def _sector_bin_table(max_lag: int, n_bins: int, n_sectors: int, aspect: float = 1.0):
     """Offset -> (sector, lag-bin) flat table.  Half-plane offsets cover
-    azimuths [0, pi); sector s spans [s, s+1) * pi/n_sectors."""
-    dys, dxs, hs = _lag_offsets(max_lag)
-    edges = np.linspace(0.0, float(max_lag), n_bins + 1)
-    bin_of = np.clip(np.digitize(np.asarray(hs), edges) - 1, 0, n_bins - 1)
-    ang = np.mod(np.arctan2(dys.astype(np.float64), dxs.astype(np.float64)), np.pi)
+    azimuths [0, pi); sector s spans [s, s+1) * pi/n_sectors.
+
+    ``aspect`` = lat_step/lon_step converts index offsets to PHYSICAL
+    geometry (dy rows are ``aspect`` times as long as dx columns): without
+    it, any grid whose steps differ reports a pure aspect artifact as
+    anisotropy (measured: every GEBCO tile 'fit' rx/ry = 2.00, theta = 0 —
+    exactly the step ratio, not geology).  Lags are in lon-step units.
+    """
+    dys, dxs, _ = _lag_offsets(max_lag)
+    dyp = dys.astype(np.float64) * aspect
+    dxp = dxs.astype(np.float64)
+    hs = np.hypot(dxp, dyp)
+    hmax = float(max_lag) * max(1.0, aspect)
+    edges = np.linspace(0.0, hmax, n_bins + 1)
+    bin_of = np.clip(np.digitize(hs, edges) - 1, 0, n_bins - 1)
+    ang = np.mod(np.arctan2(dyp, dxp), np.pi)
     sector_of = np.clip(
         np.floor(ang / (np.pi / n_sectors)).astype(np.int64), 0, n_sectors - 1
     )
@@ -140,19 +151,23 @@ def _sector_bin_table(max_lag: int, n_bins: int, n_sectors: int):
     return dys, dxs, flat, centers, angles
 
 
-@partial(jax.jit, static_argnames=("max_lag", "n_bins", "n_sectors"))
-def empirical_variogram_directional(grid: RegularGrid, *, max_lag: int = 10, n_bins: int = 10, n_sectors: int = 4):
+@partial(jax.jit, static_argnames=("max_lag", "n_bins", "n_sectors", "aspect"))
+def empirical_variogram_directional(grid: RegularGrid, *, max_lag: int = 10, n_bins: int = 10, n_sectors: int = 4, aspect: float = 1.0):
     """Directional Matheron semivariance: gamma binned by (azimuth sector,
     lag).  Returns (lag_centers (n_bins,), sector_angles (n_sectors,),
-    gamma (n_sectors, n_bins), counts (n_sectors, n_bins)), lags in index
-    space.  The isotropic :func:`empirical_variogram` is the n_sectors=1
-    marginal.  (The reference is isotropic-only — GridH.cpp:371-376 — this
-    is the standard geostatistics extension for sheet-flow / channelized
-    bathymetry where along- and across-strike correlation lengths differ.)
+    gamma (n_sectors, n_bins), counts (n_sectors, n_bins)), lags in
+    lon-step units under the physical ``aspect`` = lat_step/lon_step (1.0 =
+    index space).  The isotropic :func:`empirical_variogram` is the
+    n_sectors=1 marginal.  (The reference is isotropic-only —
+    GridH.cpp:371-376 — this is the standard geostatistics extension for
+    sheet-flow / channelized bathymetry where along- and across-strike
+    correlation lengths differ.)
     """
     H, W = grid.shape
     R = max_lag
-    dys, dxs, flat, centers, angles = _sector_bin_table(max_lag, n_bins, n_sectors)
+    dys, dxs, flat, centers, angles = _sector_bin_table(
+        max_lag, n_bins, n_sectors, aspect
+    )
     elev = jnp.pad(grid.elev, ((0, R), (0, 0)))
     valid = jnp.pad(grid.valid, ((0, R), (0, 0)))
     s, c = _pair_sums_binned(elev, valid, H, dys, dxs, flat, n_sectors * n_bins, R)
@@ -212,21 +227,41 @@ def fit_anisotropic(lags, angles, gamma, counts, *, model: str = "exponential", 
 
     jac = jax.jacfwd(resid)
 
-    def step(tv, _):
+    # Levenberg-Marquardt with DIAGONAL (Marquardt) damping: the plain-GN
+    # fixed damping stalled at real-data scale (gamma ~ 2e4, lags ~ 0.04:
+    # every step was rejected and the 'fit' returned its init verbatim —
+    # caught because two different GEBCO tiles both 'fit' rx/ry at exactly
+    # the init ratio).  diag(A) scaling makes the step scale-invariant and
+    # the accept/reject lambda schedule recovers from bad curvature.
+    # ranges are only identified within the observed lag support; outside it
+    # the SSE optimum of a misspecified model is degenerate (measured: a
+    # hole-effect sinusoid drives rx -> 5e8 'optimally' and kriging falls
+    # apart).  Box-constrain log-ranges to [hmax/50, 3 hmax].
+    hmax = jnp.maximum(jnp.max(lags), 1e-9)
+    lr_lo = jnp.log(hmax / 50.0)
+    lr_hi = jnp.log(3.0 * hmax)
+
+    def clamp(tv):
+        return jnp.concatenate([tv[:2], jnp.clip(tv[2:4], lr_lo, lr_hi), tv[4:5]])
+
+    def step(carry, _):
+        tv, lam = carry
         r = resid(tv)
         J = jac(tv)
         A = J.T @ J
-        damp = 1e-4 * jnp.maximum(jnp.trace(A) / 5.0, 1e-12)
         g = J.T @ r
-        delta = jnp.linalg.solve(A + damp * jnp.eye(5, dtype=dt), g)
+        dA = jnp.diag(jnp.maximum(jnp.diag(A), 1e-12))
+        delta = jnp.linalg.solve(A + lam * dA, g)
         delta = jnp.clip(delta, -1.0, 1.0)
-        new = tv - delta
+        new = clamp(tv - delta)
         better = jnp.sum(resid(new) ** 2) <= jnp.sum(r**2)
-        return jnp.where(better, new, tv), None
+        tv = jnp.where(better, new, tv)
+        lam = jnp.where(better, jnp.maximum(lam / 3.0, 1e-9), jnp.minimum(lam * 10.0, 1e9))
+        return (tv, lam), None
 
     def fit_from(theta0):
         tv0 = jnp.concatenate([init_log, theta0[None]])
-        tv, _ = jax.lax.scan(step, tv0, None, length=iters)
+        (tv, _), _ = jax.lax.scan(step, (tv0, jnp.asarray(1e-3, dt)), None, length=iters)
         return tv, jnp.sum(resid(tv) ** 2)
 
     tvs, sses = jax.vmap(fit_from)(theta0s)
@@ -256,13 +291,15 @@ def anisotropy_matrix(rx, ry, theta, dtype=np.float64):
 
 
 def fit_variogram_directional(grid: RegularGrid, *, max_lag: int = 10, n_bins: int = 10, n_sectors: int = 4, model: str = "exponential", iters: int = 40):
-    """Convenience: directional empirical variogram + anisotropic fit, lags
-    scaled to degrees by the mean grid step.  Returns (nugget, sill, rx, ry,
-    theta) traced scalars (ranges in degrees)."""
+    """Convenience: directional empirical variogram + anisotropic fit in
+    PHYSICAL geometry (per-axis grid steps, so a non-square cell cannot
+    masquerade as anisotropy).  Returns (nugget, sill, rx, ry, theta)
+    traced scalars, ranges in degrees, theta measured from the lon axis."""
+    aspect = float(round(abs(grid.lat_step) / max(abs(grid.lon_step), 1e-300), 6))
     lags, angles, gamma, counts = empirical_variogram_directional(
-        grid, max_lag=max_lag, n_bins=n_bins, n_sectors=n_sectors
+        grid, max_lag=max_lag, n_bins=n_bins, n_sectors=n_sectors, aspect=aspect
     )
-    step = 0.5 * (abs(grid.lat_step) + abs(grid.lon_step))
+    step = abs(grid.lon_step)
     return fit_anisotropic(lags * step, angles, gamma, counts, model=model, iters=iters)
 
 
