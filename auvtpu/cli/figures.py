@@ -89,6 +89,43 @@ def fig_accuracy(grid_b_csv: str, out: str):
     plt.close(fig)
 
 
+def fig_variogram_models(grid_b_csv: str, out: str):
+    """Kriging MAE per region for each variogram-model variant (Machine
+    column suffix written by bench_grid_b --variogram-model)."""
+    plt = _plt()
+    df = pd.read_csv(grid_b_csv)
+    b = df[(df["GridType"] == "B") & (df["InterpolationType"] == "Kriging")]
+    if "Region" not in b.columns or b.empty:
+        return False
+    variants = sorted(
+        m for m in b["Machine"].unique()
+        if not m.endswith("-exact") and not m.endswith("-centered")
+    )
+    if len(variants) < 2:
+        return False
+    groups = sorted(
+        {(r, f) for r, f in zip(b["Region"], b["RemovalFraction"])}
+    )
+    fig, ax = plt.subplots(figsize=(9, 5), dpi=120)
+    width = 0.8 / len(variants)
+    x = np.arange(len(groups))
+    for i, mach in enumerate(variants):
+        vals = []
+        for region, removal in groups:
+            sub = b[(b["Region"] == region) & (b["RemovalFraction"] == removal) & (b["Machine"] == mach)]
+            vals.append(sub["MAE"].mean() if len(sub) else np.nan)
+        label = mach.split("-", 1)[1] if "-" in mach else "exponential (ref constants)"
+        ax.bar(x + (i - len(variants) / 2 + 0.5) * width, vals, width, label=label)
+    ax.set_xticks(x, [f"{r[:10]} {f:g}" for r, f in groups], rotation=30, fontsize=8)
+    ax.set_ylabel("Kriging MAE (m)")
+    ax.set_title("Variogram model zoo: Grid B recovery error")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out)
+    plt.close(fig)
+    return True
+
+
 def fig_coverage(
     out_png: str,
     out_csv: str,
@@ -175,6 +212,10 @@ def main(argv=None):
     if os.path.exists(args.grid_b):
         fig_accuracy(args.grid_b, os.path.join(args.out_dir, "grid_b_accuracy.png"))
         print("wrote grid_b_accuracy.png")
+        if fig_variogram_models(
+            args.grid_b, os.path.join(args.out_dir, "grid_b_variogram_models.png")
+        ):
+            print("wrote grid_b_variogram_models.png")
     if args.coverage_region:
         fig_coverage(
             os.path.join(args.out_dir, "bilinear_hole_growth.png"),

@@ -233,3 +233,23 @@ def test_prototype_cli(capsys):
     main(["--region", "mid_atlantic", "--subset", "0.02", "--methods", "idw", "--k", "8"])
     out = capsys.readouterr().out
     assert "idw" in out and "% of range" in out
+
+
+def test_fig_variogram_models(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from auvtpu.cli.figures import fig_variogram_models
+
+    rows = []
+    for mach, mae in [("TPU", 14.8), ("TPU-gaussian", 12.9), ("TPU-spherical", 14.9)]:
+        rows.append(dict(
+            Machine=mach, InterpolationType="Kriging", GridType="B",
+            BatchSize=1303, Time=16.0, RemovalFraction=0.01, MAE=mae,
+            RMSE=mae * 1.6, **{"Max Error": 160.0}, Region="mid_atlantic",
+        ))
+    csv = str(tmp_path / "b.csv")
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    out = str(tmp_path / "zoo.png")
+    assert fig_variogram_models(csv, out) is True
+    assert os.path.exists(out)
