@@ -242,3 +242,24 @@ def test_pallas_fused_kriging_model_zoo_matches_xla(grid, model):
     assert (np.isnan(a) == np.isnan(b)).all()
     both = ~np.isnan(a)
     np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
+
+
+def test_pallas_window_select_radius3(grid, scattered_queries):
+    # P=64 / 2 sub-blocks per row: the kernel's sub-block masking must hold
+    # for non-default radii too
+    from auvtpu.ops.packs import StencilPack, packed_window_select
+    from auvtpu.pallas import pallas_window_select
+
+    sp3 = StencilPack(grid, window_radius=3)
+    lons, lats = scattered_queries
+    want = packed_window_select(sp3.window, grid, lons, lats, k=4, window_radius=3)
+    with _interp():
+        got = pallas_window_select(
+            sp3.window, grid, lons, lats, k=4, window_radius=3, tile_n=256
+        )
+    np.testing.assert_array_equal(np.asarray(got["found"]), np.asarray(want["found"]))
+    ok = np.asarray(want["slot_ok"])
+    for key in ("val", "dx", "dy"):
+        np.testing.assert_allclose(
+            np.asarray(got[key])[ok], np.asarray(want[key])[ok], rtol=1e-6
+        )
