@@ -84,7 +84,7 @@ def _ingest_batch(elev, valid, obs, n_live):
 
 
 @partial(jax.jit, static_argnames=("win", "method", "k", "max_radius"))
-def _window_fill(elev, valid, meta, r0, c0, *, win, method, k, max_radius):
+def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radius):
     we = jax.lax.dynamic_slice(elev, (r0, c0), win)
     wv = jax.lax.dynamic_slice(valid, (r0, c0), win)
     min_lon, max_lon, min_lat, max_lat = meta
@@ -97,7 +97,7 @@ def _window_fill(elev, valid, meta, r0, c0, *, win, method, k, max_radius):
     elif method == "mean":
         plane = fill_window_mean(g, k=k, max_radius=max_radius)
     elif method == "kriging":
-        plane = fill_kriging(g, max_radius=max_radius)
+        plane = fill_kriging(g, max_radius=max_radius, vparams=vparams)
     else:
         raise ValueError(method)
     return jnp.where(wv > 0.5, we, plane)
@@ -142,6 +142,7 @@ class StreamingInterpolator:
         self.method = method
         self.k = k
         self.max_radius = max_radius
+        self._vparams = None  # fitted (nugget, sill, range); None = defaults
         self._meta = (
             float(extent.min_lon), float(extent.max_lon),
             float(extent.min_lat), float(extent.max_lat),
@@ -186,6 +187,24 @@ class StreamingInterpolator:
         self._staged = 0
         return m
 
+    def fit_variogram(self, *, max_lag: int = 10, n_bins: int = 10):
+        """Self-tune: fit the exponential variogram from the accumulated
+        observations and use it for subsequent kriging window fills (the
+        reference hardcodes its constants, GridH.cpp:371-376; a survey
+        vehicle can afford a periodic refit).  Returns (nugget, sill,
+        range) device scalars."""
+        from .config import Extent
+        from .variogram import fit_variogram
+
+        self.flush()
+        g = RegularGrid(
+            elev=self.elev, valid=self.valid,
+            min_lon=self._meta[0], max_lon=self._meta[1],
+            min_lat=self._meta[2], max_lat=self._meta[3],
+        )
+        self._vparams = fit_variogram(g, max_lag=max_lag, n_bins=n_bins)
+        return self._vparams
+
     def window_fill(self, center_row: int, center_col: int):
         """Interpolated (win_h, win_w) map around the vehicle; observed cells
         keep their measured values, gaps are filled by the chosen method."""
@@ -197,6 +216,7 @@ class StreamingInterpolator:
         return _window_fill(
             self.elev, self.valid, self._meta,
             jnp.asarray(r0, jnp.int32), jnp.asarray(c0, jnp.int32),
+            self._vparams,
             win=self.window, method=self.method, k=self.k,
             max_radius=self.max_radius,
         ), (r0, c0)

@@ -152,3 +152,23 @@ def test_save_load_roundtrip(si, tmp_path):
     # resumed instance keeps working: new observations land on the mosaic
     si2.ingest([3], [4], [-42.0])
     assert si2.snapshot()[3, 4] == pytest.approx(-42.0)
+
+
+def test_fit_variogram_self_tunes_kriging_fill():
+    ext = Extent(0.0, 255.0, 0.0, 255.0)
+    si = StreamingInterpolator(
+        (256, 256), ext, swath_cap=256, window=(64, 64),
+        method="kriging", max_radius=5,
+    )
+    truth = shelf_seamount(256, 256)
+    r = np.random.RandomState(4)
+    rows = r.randint(96, 160, 3000)
+    cols = r.randint(96, 160, 3000)
+    si.ingest(rows, cols, truth[rows, cols])
+    t_default, _ = si.window_fill(128, 128)
+    vp = si.fit_variogram(max_lag=5, n_bins=5)
+    assert all(float(v) > 0 for v in vp)
+    t_fitted, _ = si.window_fill(128, 128)
+    # the fitted params actually flow into the fill (different weights)
+    assert not np.array_equal(np.asarray(t_default), np.asarray(t_fitted))
+    assert np.isfinite(np.asarray(t_fitted)).any()
