@@ -232,6 +232,11 @@ class StreamingInterpolator:
         """Checkpoint the mosaic (survey pause / vehicle recovery): flushes
         staged observations, then writes (elev, valid, extent) as one npz."""
         self.flush()
+        vp = (
+            np.asarray([float(v) for v in self._vparams], np.float64)
+            if self._vparams is not None
+            else np.zeros((0,), np.float64)
+        )
         np.savez_compressed(
             path,
             elev=np.asarray(self.elev),
@@ -241,6 +246,7 @@ class StreamingInterpolator:
             method=np.asarray(self.method),
             k=np.asarray(self.k),
             max_radius=np.asarray(self.max_radius),
+            vparams=vp,
         )
 
     @classmethod
@@ -264,4 +270,7 @@ class StreamingInterpolator:
         )
         si.elev = jnp.asarray(d["elev"])
         si.valid = jnp.asarray(d["valid"])
+        vp = d["vparams"] if "vparams" in d.files else np.zeros((0,))
+        if len(vp) == 3:
+            si._vparams = tuple(jnp.asarray(v, si.elev.dtype) for v in vp)
         return si
