@@ -130,6 +130,10 @@ def main(argv=None):
             "Cubic": lambda g, lo, la: exact_cubic_scattered(g, lo, la, max_radius=R if R > 2 else 10),
             "Kriging": lambda g, lo, la: exact_kriging_scattered(g, lo, la, max_radius=R if R > 2 else 10),
         }
+        dropped = [m for m in args.methods if m not in ops]
+        if dropped:
+            log(f"exact mode: dropping unsupported methods {dropped} "
+                "(the reference engine has no scattered IDW to be exact against)")
         args.methods = [m for m in args.methods if m in ops]
     elif args.packed:
         # stencil packs: every query fetches its whole neighborhood in ONE

@@ -97,9 +97,17 @@ def fig_variogram_models(grid_b_csv: str, out: str):
     b = df[(df["GridType"] == "B") & (df["InterpolationType"] == "Kriging")]
     if "Region" not in b.columns or b.empty:
         return False
+    # variant = a KNOWN model suffix appended by bench_grid_b; anything else
+    # (hostnames with dashes, -exact/-centered modes) is not a model variant
+    models = ("linear", "spherical", "gaussian", "exponential", "best")
+
+    def variant_of(mach):
+        tail = mach.rsplit("-", 1)[-1]
+        return tail if tail in models else None
+
     variants = sorted(
         m for m in b["Machine"].unique()
-        if not m.endswith("-exact") and not m.endswith("-centered")
+        if variant_of(m) is not None or "-" not in m
     )
     if len(variants) < 2:
         return False
@@ -114,7 +122,7 @@ def fig_variogram_models(grid_b_csv: str, out: str):
         for region, removal in groups:
             sub = b[(b["Region"] == region) & (b["RemovalFraction"] == removal) & (b["Machine"] == mach)]
             vals.append(sub["MAE"].mean() if len(sub) else np.nan)
-        label = mach.split("-", 1)[1] if "-" in mach else "exponential (ref constants)"
+        label = variant_of(mach) or "exponential (ref constants)"
         ax.bar(x + (i - len(variants) / 2 + 0.5) * width, vals, width, label=label)
     ax.set_xticks(x, [f"{r[:10]} {f:g}" for r, f in groups], rotation=30, fontsize=8)
     ax.set_ylabel("Kriging MAE (m)")

@@ -448,7 +448,11 @@ def _select_chunk_scattered(elev, valid, ci, cj, x, y, *, max_radius):
 
 def _prepare_scattered(grid: RegularGrid, lons, lats, anchor: str):
     """f64 normalization for raw scattered coordinates (golden.engine
-    _normalize semantics: oob outside the extent, anchors clamped)."""
+    _normalize semantics: oob outside the extent, anchors clamped).
+
+    Deliberately parallel to prepare_exact_queries (which starts from
+    integer indices and additionally splits tie-breaking residues): any
+    change to the oob/clamp convention must be applied to BOTH."""
     lons = np.asarray(lons, np.float64).ravel()
     lats = np.asarray(lats, np.float64).ravel()
     H, W = grid.shape
@@ -487,6 +491,8 @@ def exact_kriging_scattered(grid: RegularGrid, lons, lats, *, max_radius: int = 
     _require_x64()
     lons, lats, x, y, ci, cj, oob = _prepare_scattered(grid, lons, lats, "round")
     n = len(x)
+    if n == 0:
+        return np.zeros((0,), np.float64)
     sel = partial(_select_chunk_scattered, grid.elev, grid.valid, max_radius=max_radius)
     found, sel_val, sel_gi, sel_gj = _run_chunked(
         sel, n, min(chunk, max(n, 1)), ci, cj, x, y
@@ -543,6 +549,8 @@ def exact_cubic_scattered(grid: RegularGrid, lons, lats, *, max_radius: int = 10
     _require_x64()
     lons, lats, x, y, ci, cj, oob = _prepare_scattered(grid, lons, lats, "floor")
     n = len(x)
+    if n == 0:
+        return np.zeros((0,), np.float64)
     smooth, all_ok = _run_chunked(
         partial(_cubic_smooth_chunk, grid.elev, grid.valid),
         n, min(chunk, max(n, 1)), ci, cj, x, y,
@@ -590,6 +598,8 @@ def exact_bilinear_scattered(grid: RegularGrid, lons, lats, *, chunk: int = 1638
     _require_x64()
     lons, lats, x, y, ci, cj, oob = _prepare_scattered(grid, lons, lats, "floor")
     n = len(x)
+    if n == 0:
+        return np.zeros((0,), np.float64)
     (out,) = _run_chunked(
         lambda *a: (_bilinear_chunk(grid.elev, grid.valid, *a),),
         n, min(chunk, max(n, 1)), ci, cj, x, y,

@@ -134,6 +134,15 @@ def pallas_window_select(
     dy_tab, dx_tab, code_tab, B = _lane_tables(window_radius, P)
     R = window_radius
 
+    if grid.dtype == jnp.float64:
+        # the kernel computes in f32; silently downcasting an x64 grid would
+        # be exactly the silent-precision-regression class the bf16 incident
+        # was (docs/RESULTS.md) — refuse loudly, the XLA packed path serves
+        # x64 callers
+        raise ValueError(
+            "pallas_window_select is an f32 kernel; use the 'xla' packed "
+            "backend for float64 grids"
+        )
     x, y, oob = _normalize(grid, lons, lats)
     ci = jnp.clip(jnp.floor(x + 0.5).astype(jnp.int32), 0, grid.num_lon - 1)
     cj = jnp.clip(jnp.floor(y + 0.5).astype(jnp.int32), 0, grid.num_lat - 1)

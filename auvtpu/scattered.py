@@ -216,6 +216,9 @@ def kriging_knn(points_xy, points_val, targets_xy, *, k: int = 50, vparams=None,
     the kriging system use correlation distance; vparams becomes
     (nugget, sill, 1).  Mutually exclusive with vparams.
     """
+    if aniso is not None and vparams is not None:
+        raise ValueError("pass either vparams or aniso, not both (aniso carries "
+                         "its own (nugget, sill) and implies unit range)")
     if isinstance(aniso, str):
         if aniso != "fit":
             raise ValueError(aniso)

@@ -32,25 +32,6 @@ from .ops import fill_idw, fill_window_mean, kriging_at_cells, fill_kriging
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
-def _ingest(elev, valid, rows, cols, vals, live):
-    """Scatter a (padded) swath into the mosaic planes, in place.
-
-    Dead (pad) lanes are routed to a true scrap index one past the end of the
-    flat plane and dropped by the scatter (mode='drop'), so they can never
-    clobber a live observation at any real cell — .at[].set with duplicate
-    indices has undefined order, and a pad lane aimed at cell 0 could
-    silently overwrite a genuine observation landing there in the same chunk.
-    """
-    W = elev.shape[1]
-    n = elev.size
-    flat = rows * W + cols
-    f = jnp.where(live, flat, n)  # scrap index, dropped below
-    ev = elev.reshape(-1).at[f].set(vals, mode="drop").reshape(elev.shape)
-    ok = valid.reshape(-1).at[f].max(live.astype(valid.dtype), mode="drop")
-    return ev, ok.reshape(valid.shape)
-
-
-@partial(jax.jit, donate_argnums=(0, 1))
 def _ingest_batch(elev, valid, obs, n_live):
     """Scatter one staged batch of observations, in place, deterministically.
 
@@ -83,8 +64,8 @@ def _ingest_batch(elev, valid, obs, n_live):
     return ev, ok.reshape(valid.shape)
 
 
-@partial(jax.jit, static_argnames=("win", "method", "k", "max_radius"))
-def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radius):
+@partial(jax.jit, static_argnames=("win", "method", "k", "max_radius", "steps"))
+def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radius, steps):
     we = jax.lax.dynamic_slice(elev, (r0, c0), win)
     wv = jax.lax.dynamic_slice(valid, (r0, c0), win)
     min_lon, max_lon, min_lat, max_lat = meta
@@ -97,7 +78,15 @@ def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radi
     elif method == "mean":
         plane = fill_window_mean(g, k=k, max_radius=max_radius)
     elif method == "kriging":
-        plane = fill_kriging(g, max_radius=max_radius, vparams=vparams)
+        # the window is a sub-plane of the mosaic: pass the MOSAIC cell
+        # steps and the window's global origin so the variogram geometry is
+        # in mosaic coordinates (a window grid naively built from the full
+        # extent would inflate every distance by (W-1)/(win-1) — the exact
+        # sub-plane mechanism fill_kriging's steps=/row0/col0 exists for)
+        plane = fill_kriging(
+            g, max_radius=max_radius, vparams=vparams,
+            row0=r0, col0=c0, steps=steps,
+        )
     else:
         raise ValueError(method)
     return jnp.where(wv > 0.5, we, plane)
@@ -147,6 +136,11 @@ class StreamingInterpolator:
             float(extent.min_lon), float(extent.max_lon),
             float(extent.min_lat), float(extent.max_lat),
         )
+        H, W = shape
+        self._steps = (
+            (self._meta[3] - self._meta[2]) / max(H - 1, 1),
+            (self._meta[1] - self._meta[0]) / max(W - 1, 1),
+        )
 
     @property
     def shape(self):
@@ -193,7 +187,6 @@ class StreamingInterpolator:
         reference hardcodes its constants, GridH.cpp:371-376; a survey
         vehicle can afford a periodic refit).  Returns (nugget, sill,
         range) device scalars."""
-        from .config import Extent
         from .variogram import fit_variogram
 
         self.flush()
@@ -218,7 +211,7 @@ class StreamingInterpolator:
             jnp.asarray(r0, jnp.int32), jnp.asarray(c0, jnp.int32),
             self._vparams,
             win=self.window, method=self.method, k=self.k,
-            max_radius=self.max_radius,
+            max_radius=self.max_radius, steps=self._steps,
         ), (r0, c0)
 
     def snapshot(self) -> np.ndarray:

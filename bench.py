@@ -73,10 +73,13 @@ def wait_for_device(max_wait_s: float = 900.0):
         if platforms is not None:
             env["JAX_PLATFORMS"] = platforms
         try:
+            # 540 s: a healthy-but-cold axon backend pays ~100-400 s of
+            # warmup before answering (CLAUDE.md); a 180 s probe would call
+            # a cold tunnel 'down' forever
             r = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; assert jax.devices()[0].platform != 'cpu'"],
-                capture_output=True, timeout=180, env=env,
+                capture_output=True, timeout=540, env=env,
             )
             return r.returncode == 0
         except subprocess.TimeoutExpired:

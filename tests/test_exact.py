@@ -302,3 +302,18 @@ def test_scattered_exact_requires_x64():
 
     with pytest.raises(RuntimeError, match="x64"):
         exact_kriging_scattered(grid, np.array([75.0]), np.array([-55.0]))
+
+
+def test_scattered_exact_empty_inputs(x64):
+    from auvtpu.ops.exact import (
+        exact_bilinear_scattered,
+        exact_cubic_scattered,
+        exact_kriging_scattered,
+    )
+
+    g, grid, _, _ = _masked_grid(32, 32, 0.2, seed=11)
+    grid = RegularGrid.from_nan_array(g.elev, AWKWARD, dtype=np.float64)
+    empty = np.zeros((0,), np.float64)
+    for fn in (exact_bilinear_scattered, exact_cubic_scattered, exact_kriging_scattered):
+        out = fn(grid, empty, empty)
+        assert out.shape == (0,)
