@@ -329,7 +329,7 @@ def window_topk_planes(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, c
     return state
 
 
-def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vparams=None, convention="reference", model="exponential"):
+def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vparams=None, convention="reference", model="exponential", with_variance=False):
     """Batched kriging solve given selected-slot data at given cells.
 
     cols/rows: (N,) float cell coordinates (global); slot inputs are (N, K).
@@ -348,13 +348,24 @@ def _krige_from_slots(grid, cnt, vals, dxs, dys, cols, rows, *, steps=None, vpar
     qlat = grid.min_lat + rows * lat_step
     cx = grid.min_lon + (cols[:, None] + dxs + half) * lon_step
     cy = grid.min_lat + (rows[:, None] + dys + half) * lat_step
-    pred, singular = krige_solve(qlon, qlat, vals, cx, cy, KrigingConfig(), vparams=vparams, model=model)
+    if with_variance:
+        pred, singular, var = krige_solve(
+            qlon, qlat, vals, cx, cy, KrigingConfig(), vparams=vparams,
+            model=model, with_variance=True,
+        )
+    else:
+        pred, singular = krige_solve(qlon, qlat, vals, cx, cy, KrigingConfig(), vparams=vparams, model=model)
     fb = jnp.where(cnt > 0, vals.sum(axis=1) / jnp.maximum(cnt, 1.0), jnp.nan)
-    return jnp.where(singular | (cnt < 4), fb, pred)
+    bail = singular | (cnt < 4)
+    out = jnp.where(bail, fb, pred)
+    if with_variance:
+        # fallback cells have no defined kriging variance
+        return out, jnp.where(bail, jnp.nan, var)
+    return out
 
 
-@partial(jax.jit, static_argnames=("max_radius", "convention", "backend", "model"))
-def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, col0=0, steps=None, vparams=None, convention: str = "reference", backend: str = "xla", model: str = "exponential"):
+@partial(jax.jit, static_argnames=("max_radius", "convention", "backend", "model", "with_variance"))
+def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, col0=0, steps=None, vparams=None, convention: str = "reference", backend: str = "xla", model: str = "exponential", with_variance: bool = False):
     """Ordinary-kriging fill plane: first-4-valid selection (window_topk_planes),
     then a batched 5x5 solve per cell (weights depend on the *geometry* of the
     selected offsets, kernels.cu:478-546).
@@ -389,7 +400,11 @@ def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, col0=0, ste
         vparams=vparams,
         convention=convention,
         model=model,
+        with_variance=with_variance,
     )
+    if with_variance:
+        plane, var = out
+        return plane.reshape(H, W), var.reshape(H, W)
     return out.reshape(H, W)
 
 

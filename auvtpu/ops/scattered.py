@@ -162,7 +162,7 @@ def variogram(h, params):
     return nugget + sill * (1.0 - jnp.exp(-h / rng))
 
 
-def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), vparams=None, model: str = "exponential"):
+def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), vparams=None, model: str = "exponential", with_variance: bool = False):
     """Vectorized unpivoted Gauss-Jordan on the (N,5,6) ordinary-kriging system
     (GridH.cpp:378-419).  Neighbors at cell-center coords (cx, cy); query at
     its raw coordinate — the reference's half-cell offset is intentional.
@@ -170,7 +170,11 @@ def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), 
     vparams: optional traced (nugget, sill, range) overriding cfg.variogram.
     model: static variogram model name (the reference hardcodes exponential,
     GridH.cpp:371-376; the zoo in variogram.variogram_model extends it).
-    Returns (pred, singular): prediction and the singular-pivot bailout mask.
+    Returns (pred, singular): prediction and the singular-pivot bailout mask;
+    with_variance=True (static) appends the ordinary-kriging prediction
+    variance sigma^2 = sum_i w_i gamma(h_i0) + mu — the uncertainty surface
+    the reference never exposes, and the natural 'survey here next' signal
+    for an AUV mission.
     """
     vg = (
         vparams
@@ -201,6 +205,7 @@ def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), 
         ddx = cx[:, a] - qlon
         ddy = cy[:, a] - qlat
         M[a][5] = vf(jnp.sqrt(ddx * ddx + ddy * ddy))
+    gamma0 = [M[a][5] for a in range(4)]  # gamma(h_i0), pre-elimination
     M[4] = [jnp.ones((n,), vals.dtype)] * 4 + [jnp.zeros((n,), vals.dtype), jnp.ones((n,), vals.dtype)]
     # symmetric aliasing above shares arrays; make row 4 entries independent
     # is unnecessary (they are fresh arrays already)
@@ -225,7 +230,12 @@ def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), 
         + M[2][5] * vals[:, 2]
         + M[3][5] * vals[:, 3]
     )
-    return pred, singular
+    if not with_variance:
+        return pred, singular
+    # after elimination column 5 holds the solution: w_i = M[i][5] (i<4),
+    # Lagrange multiplier mu = M[4][5]
+    var = sum(M[a][5] * gamma0[a] for a in range(4)) + M[4][5]
+    return pred, singular, jnp.maximum(var, 0.0)
 
 
 @partial(jax.jit, static_argnames=("max_radius", "convention"))

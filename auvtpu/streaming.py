@@ -92,6 +92,22 @@ def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radi
     return jnp.where(wv > 0.5, we, plane)
 
 
+@partial(jax.jit, static_argnames=("win", "max_radius", "steps"))
+def _window_var(elev, valid, meta, r0, c0, vparams, *, win, max_radius, steps):
+    we = jax.lax.dynamic_slice(elev, (r0, c0), win)
+    wv = jax.lax.dynamic_slice(valid, (r0, c0), win)
+    min_lon, max_lon, min_lat, max_lat = meta
+    g = RegularGrid(
+        elev=we, valid=wv,
+        min_lon=min_lon, max_lon=max_lon, min_lat=min_lat, max_lat=max_lat,
+    )
+    _, var = fill_kriging(
+        g, max_radius=max_radius, vparams=vparams,
+        row0=r0, col0=c0, steps=steps, with_variance=True,
+    )
+    return jnp.where(wv > 0.5, 0.0, var)
+
+
 class StreamingInterpolator:
     """Incremental mosaic with constant-shape ingest and window queries.
 
@@ -212,6 +228,24 @@ class StreamingInterpolator:
             self._vparams,
             win=self.window, method=self.method, k=self.k,
             max_radius=self.max_radius, steps=self._steps,
+        ), (r0, c0)
+
+    def window_uncertainty(self, center_row: int, center_col: int):
+        """Ordinary-kriging prediction-variance map around the vehicle — the
+        natural 'survey here next' surface for mission planning (the
+        reference never exposes uncertainty).  Observed cells read 0; cells
+        with no resolvable neighborhood read NaN.  Uses the fitted variogram
+        when fit_variogram() has run."""
+        self.flush()
+        wh, ww = self.window
+        H, W = self.shape
+        r0 = int(np.clip(center_row - wh // 2, 0, H - wh))
+        c0 = int(np.clip(center_col - ww // 2, 0, W - ww))
+        return _window_var(
+            self.elev, self.valid, self._meta,
+            jnp.asarray(r0, jnp.int32), jnp.asarray(c0, jnp.int32),
+            self._vparams,
+            win=self.window, max_radius=self.max_radius, steps=self._steps,
         ), (r0, c0)
 
     def snapshot(self) -> np.ndarray:

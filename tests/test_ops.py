@@ -266,3 +266,25 @@ def test_centered_kriging_matches_centered_oracle():
     )
     want = gv2c.kriging(cc.astype(float), rr.astype(float))
     assert_close(got, want, atol=0.15)
+
+
+def test_fill_kriging_variance_grows_with_distance_from_data():
+    from auvtpu.config import Extent
+    from auvtpu.grid import RegularGrid
+    from auvtpu.ops import fill_kriging
+    from auvtpu.synthetic import shelf_seamount
+
+    H, W = 48, 64
+    elev = shelf_seamount(H, W)
+    # valid left half, masked right half
+    elev[:, W // 2 :] = np.nan
+    grid = RegularGrid.from_nan_array(elev, Extent(0.0, float(W - 1), 0.0, float(H - 1)))
+    plane, var = fill_kriging(grid, max_radius=10, with_variance=True)
+    var = np.asarray(var)
+    # predicted columns near the data edge are more certain than deeper ones
+    near = np.nanmean(var[:, W // 2 + 1])
+    far = np.nanmean(var[:, W // 2 + 6])
+    assert np.isfinite(near) and np.isfinite(far)
+    assert far > near > 0
+    # beyond max_radius the fallback path has no defined variance
+    assert np.isnan(var[:, -1]).all()

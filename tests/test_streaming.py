@@ -172,3 +172,21 @@ def test_fit_variogram_self_tunes_kriging_fill():
     # the fitted params actually flow into the fill (different weights)
     assert not np.array_equal(np.asarray(t_default), np.asarray(t_fitted))
     assert np.isfinite(np.asarray(t_fitted)).any()
+
+
+def test_window_uncertainty_surface(si):
+    truth = shelf_seamount(512, 512)
+    r = np.random.RandomState(6)
+    rows = r.randint(240, 272, 3000)
+    cols = r.randint(240, 272, 3000)
+    si.ingest(rows, cols, truth[rows, cols])
+    vmap_, (r0, c0) = si.window_uncertainty(256, 256)
+    vmap_ = np.asarray(vmap_)
+    assert vmap_.shape == (64, 64)
+    obs = np.zeros((512, 512), bool)
+    obs[rows, cols] = True
+    w_obs = obs[r0 : r0 + 64, c0 : c0 + 64]
+    # observed cells are certain; unobserved in-window cells are not
+    assert (vmap_[w_obs] == 0).all()
+    gaps = ~w_obs & np.isfinite(vmap_)
+    assert gaps.any() and (vmap_[gaps] > 0).all()
