@@ -166,8 +166,8 @@ def linear_knn(points_xy, points_val, targets_xy, *, k: int = 12):
     return _plane_fit(d2, xy_k, vals_k, targets_xy, k=k)
 
 
-@partial(jax.jit, static_argnames=("k", "model"))
-def _ok_from_knn(d2, xy_k, vals_k, targets_xy, vparams, *, k: int, model: str = "exponential"):
+@partial(jax.jit, static_argnames=("k", "model", "with_variance"))
+def _ok_from_knn(d2, xy_k, vals_k, targets_xy, vparams, *, k: int, model: str = "exponential", with_variance: bool = False):
     """Moving-window ordinary kriging over the k nearest neighbors.
 
     The GAUSSIAN model solves in COVARIANCE form with a Cholesky
@@ -208,7 +208,13 @@ def _ok_from_knn(d2, xy_k, vals_k, targets_xy, vparams, *, k: int, model: str = 
         rhs = jnp.concatenate([vf(h_t) / scale, jnp.ones((n, 1), dt)], axis=1)
         A = A.at[:, :k, :k].add(1e-4 * jnp.eye(k, dtype=dt))
         w = jnp.linalg.solve(A, rhs[..., None])[..., 0]  # (n, k+1)
-        return jnp.sum(w[:, :k] * vals_k, axis=1)
+        pred = jnp.sum(w[:, :k] * vals_k, axis=1)
+        if not with_variance:
+            return pred
+        # sigma^2 = sum_i w_i gamma_i0 + mu; the system was scaled by
+        # 'scale' (weights invariant, mu' = mu/scale)
+        var = jnp.sum(w[:, :k] * vf(h_t), axis=1) + w[:, k] * scale
+        return pred, jnp.maximum(var, 0.0)
 
     total = vparams[0] + vparams[1]  # gamma(inf) = nugget + sill
     C = (total - vf(h_kk)) / total
@@ -222,11 +228,17 @@ def _ok_from_knn(d2, xy_k, vals_k, targets_xy, vparams, *, k: int, model: str = 
         jnp.sum(u, axis=(1, 2)), jnp.asarray(1e-30, dt)
     )
     w = (v + lam[:, None, None] * u)[..., 0]
-    return jnp.sum(w * vals_k, axis=1)
+    pred = jnp.sum(w * vals_k, axis=1)
+    if not with_variance:
+        return pred
+    # variogram-form multiplier mu = -lambda (substitute gamma = total - C
+    # into the gamma system and use sum w = 1); lam is in C/total units
+    var = jnp.sum(w * vf(h_t), axis=1) - lam * total
+    return pred, jnp.maximum(var, 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "model"))
-def _ok_trend_from_knn(d2, xy_k, vals_k, targets_xy, vparams, *, k: int, model: str = "exponential"):
+@partial(jax.jit, static_argnames=("k", "model", "with_variance"))
+def _ok_trend_from_knn(d2, xy_k, vals_k, targets_xy, vparams, *, k: int, model: str = "exponential", with_variance: bool = False):
     """Residual (trend-removed) moving-window kriging: fit the local weighted
     plane over the neighbors, krige the *residuals*, add the plane back at
     the target.  This is the standard fix for trend-dominated fields (the
@@ -235,11 +247,18 @@ def _ok_trend_from_knn(d2, xy_k, vals_k, targets_xy, vparams, *, k: int, model: 
     coef, rel = _plane_coefs(d2, xy_k, vals_k, targets_xy, k=k)
     plane_at_nb = coef[:, None, 0] * rel[..., 0] + coef[:, None, 1] * rel[..., 1] + coef[:, None, 2]
     resid = vals_k - plane_at_nb
-    pred_resid = _ok_from_knn(d2, xy_k, resid, targets_xy, vparams, k=k, model=model)
-    return coef[:, 2] + pred_resid
+    out = _ok_from_knn(
+        d2, xy_k, resid, targets_xy, vparams, k=k, model=model,
+        with_variance=with_variance,
+    )
+    if with_variance:
+        # residual-kriging variance (plane-fit uncertainty not included)
+        pred_resid, var = out
+        return coef[:, 2] + pred_resid, var
+    return coef[:, 2] + out
 
 
-def kriging_knn(points_xy, points_val, targets_xy, *, k: int = 50, vparams=None, model: str = "exponential", trend: str = "plane", aniso=None):
+def kriging_knn(points_xy, points_val, targets_xy, *, k: int = 50, vparams=None, model: str = "exponential", trend: str = "plane", aniso=None, return_variance: bool = False):
     """Moving-window ordinary kriging (PyKrige n_closest_points equivalent).
 
     model: variogram model ('exponential' | 'linear' | 'spherical' |
@@ -283,7 +302,10 @@ def kriging_knn(points_xy, points_val, targets_xy, *, k: int = 50, vparams=None,
     vals_k = jnp.take(points_val, idxc)
     xy_k = jnp.take(points_xy, idxc, axis=0)
     fn = _ok_trend_from_knn if trend == "plane" else _ok_from_knn
-    return fn(d2, xy_k, vals_k, targets_xy, vparams, k=k, model=model)
+    return fn(
+        d2, xy_k, vals_k, targets_xy, vparams, k=k, model=model,
+        with_variance=return_variance,
+    )
 
 
 @partial(jax.jit, static_argnames=("n_bins", "max_pairs_sqrt", "short_frac"))
