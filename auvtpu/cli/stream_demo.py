@@ -75,6 +75,12 @@ def main(argv=None):
     p.add_argument("--method", default="idw", choices=["idw", "mean", "kriging"])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out-npy", default=None, help="write final mosaic (npy)")
+    p.add_argument(
+        "--uncertainty", action="store_true",
+        help="at the end: fit the variogram from the mosaic and report the "
+        "kriging prediction-variance map around the vehicle (the 'survey "
+        "here next' surface)",
+    )
     args = p.parse_args(argv)
 
     H, W = args.mosaic
@@ -128,6 +134,23 @@ def main(argv=None):
             f"({n_fills} refreshes)")
     log(f"mosaic RMSE at observed cells: {rmse:.3f} m ({100*rmse/span:.2f}% of range; "
         f"sounding noise {args.noise} m)")
+    if args.uncertainty:
+        vp = si.fit_variogram()
+        vmap_, _ = si.window_uncertainty(int(vr[-1]), int(vc[-1]))
+        vmap_ = np.asarray(vmap_)
+        gaps = np.isfinite(vmap_) & (vmap_ > 0)
+        log(
+            f"fitted variogram (nugget, sill, range): "
+            + " ".join(f"{float(v):.4g}" for v in vp)
+        )
+        if gaps.any():
+            log(
+                f"uncertainty around vehicle: mean sigma "
+                f"{np.sqrt(vmap_[gaps].mean()):.2f} m, max sigma "
+                f"{np.sqrt(vmap_[gaps].max()):.2f} m over {gaps.sum()} unsurveyed cells"
+            )
+        if args.out_npy:
+            np.save(args.out_npy + ".var.npy", vmap_)
     if args.out_npy:
         np.save(args.out_npy, snap)
         log(f"mosaic -> {args.out_npy}")
