@@ -97,8 +97,9 @@ def fig_variogram_models(grid_b_csv: str, out: str):
     b = df[(df["GridType"] == "B") & (df["InterpolationType"] == "Kriging")]
     if "Region" not in b.columns or b.empty:
         return False
-    # variant = a KNOWN model suffix appended by bench_grid_b; anything else
-    # (hostnames with dashes, -exact/-centered modes) is not a model variant
+    # variant = a KNOWN model suffix appended by bench_grid_b; -exact and
+    # -centered are accuracy MODES, not model variants.  Any other machine
+    # name (dashed hostnames included) is a baseline exponential row.
     models = ("linear", "spherical", "gaussian", "exponential", "best")
 
     def variant_of(mach):
@@ -107,7 +108,7 @@ def fig_variogram_models(grid_b_csv: str, out: str):
 
     variants = sorted(
         m for m in b["Machine"].unique()
-        if variant_of(m) is not None or "-" not in m
+        if not m.endswith(("-exact", "-centered"))
     )
     if len(variants) < 2:
         return False

@@ -144,10 +144,10 @@ def main(argv=None):
             + " ".join(f"{float(v):.4g}" for v in vp)
         )
         if gaps.any():
+            sig = np.sqrt(vmap_[gaps])
             log(
-                f"uncertainty around vehicle: mean sigma "
-                f"{np.sqrt(vmap_[gaps].mean()):.2f} m, max sigma "
-                f"{np.sqrt(vmap_[gaps].max()):.2f} m over {gaps.sum()} unsurveyed cells"
+                f"uncertainty around vehicle: mean sigma {sig.mean():.2f} m, "
+                f"max sigma {sig.max():.2f} m over {gaps.sum()} unsurveyed cells"
             )
         if args.out_npy:
             np.save(args.out_npy + ".var.npy", vmap_)

@@ -112,15 +112,27 @@ def _aidw_from_knn(d2, vals_k, area_per_point, *, k: int, alpha_min: float = 1.0
     exp/log per lane (no data-dependent branching)."""
     d = jnp.sqrt(jnp.maximum(d2, 0.0))
     r_obs = jnp.mean(d, axis=1)
-    r_exp = 0.5 * jnp.sqrt(jnp.maximum(area_per_point, 1e-30))
+    # expected MEAN k-NN distance under uniform (Poisson) density: E[d_j]
+    # ~= sqrt(j/(pi rho)), so mean over j=1..k ~= (2/3) sqrt(k/pi) sqrt(A/n).
+    # (Comparing the k-NN mean against the SINGLE-NN spacing made R ~= 3 at
+    # uniform density and saturated alpha at alpha_max everywhere — the
+    # 'adaptive' power never adapted.)
+    r_exp = (2.0 / 3.0) * jnp.sqrt(
+        k * jnp.maximum(area_per_point, 1e-30) / np.pi
+    )
     R = r_obs / jnp.maximum(r_exp, 1e-30)
-    # normalized density measure: 0 (very dense) .. 1 (very sparse)
+    # normalized density measure: 0 (very dense) .. 1 (very sparse);
+    # R ~= 1 at uniform density maps to the midpoint
     mu = jnp.clip(R / 2.0, 0.0, 1.0)
     # smoothstep membership (continuous version of Lu & Wong's 5-level
     # triangular fuzzy classes)
     s = mu * mu * (3.0 - 2.0 * mu)
     alpha = alpha_min + (alpha_max - alpha_min) * s  # (n,)
-    w = 1.0 / (jnp.exp(alpha[:, None] * jnp.log(jnp.maximum(d, 1e-30))) + eps)
+    # scale-invariant weights: normalize distances per query before the
+    # power so the absolute eps cannot swamp d^alpha at small coordinate
+    # scales (degree units: one GEBCO cell ~ 0.004, 0.004^5 ~ eps)
+    dn = d / jnp.maximum(r_obs[:, None], 1e-30)
+    w = 1.0 / (jnp.exp(alpha[:, None] * jnp.log(jnp.maximum(dn, 1e-30))) + eps)
     return jnp.sum(w * vals_k, axis=1) / jnp.sum(w, axis=1)
 
 
@@ -231,9 +243,13 @@ def _ok_from_knn(d2, xy_k, vals_k, targets_xy, vparams, *, k: int, model: str = 
     pred = jnp.sum(w * vals_k, axis=1)
     if not with_variance:
         return pred
-    # variogram-form multiplier mu = -lambda (substitute gamma = total - C
-    # into the gamma system and use sum w = 1); lam is in C/total units
-    var = jnp.sum(w * vf(h_t), axis=1) - lam * total
+    # variogram-form multiplier mu = +lambda: substituting gamma = ct - C
+    # into the gamma system with sum w = 1 gives sum_j C_ij w_j = C_i0 + mu,
+    # which is exactly the solved system C w = c0 + lam 1.  (Verified
+    # numerically against a direct f64 solve of the OK system; the earlier
+    # '-lam' sign underestimated extrapolation variance ~3x.)  lam is in
+    # C/total units.
+    var = jnp.sum(w * vf(h_t), axis=1) + lam * total
     return pred, jnp.maximum(var, 0.0)
 
 

@@ -64,8 +64,11 @@ def _ingest_batch(elev, valid, obs, n_live):
     return ev, ok.reshape(valid.shape)
 
 
-@partial(jax.jit, static_argnames=("win", "method", "k", "max_radius", "steps"))
-def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radius, steps):
+@partial(jax.jit, static_argnames=("win", "method", "k", "max_radius", "steps", "variance"))
+def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radius, steps, variance=False):
+    """Window fill (or, with variance=True, the kriging prediction-variance
+    surface with observed cells at 0).  One function so the window geometry
+    invariants live in one place."""
     we = jax.lax.dynamic_slice(elev, (r0, c0), win)
     wv = jax.lax.dynamic_slice(valid, (r0, c0), win)
     min_lon, max_lon, min_lat, max_lat = meta
@@ -73,6 +76,14 @@ def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radi
         elev=we, valid=wv,
         min_lon=min_lon, max_lon=max_lon, min_lat=min_lat, max_lat=max_lat,
     )
+    if variance:
+        if method != "kriging":
+            raise ValueError("variance surfaces are kriging-only")
+        _, var = fill_kriging(
+            g, max_radius=max_radius, vparams=vparams,
+            row0=r0, col0=c0, steps=steps, with_variance=True,
+        )
+        return jnp.where(wv > 0.5, 0.0, var)
     if method == "idw":
         plane = fill_idw(g, k=k, max_radius=max_radius)
     elif method == "mean":
@@ -90,22 +101,6 @@ def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radi
     else:
         raise ValueError(method)
     return jnp.where(wv > 0.5, we, plane)
-
-
-@partial(jax.jit, static_argnames=("win", "max_radius", "steps"))
-def _window_var(elev, valid, meta, r0, c0, vparams, *, win, max_radius, steps):
-    we = jax.lax.dynamic_slice(elev, (r0, c0), win)
-    wv = jax.lax.dynamic_slice(valid, (r0, c0), win)
-    min_lon, max_lon, min_lat, max_lat = meta
-    g = RegularGrid(
-        elev=we, valid=wv,
-        min_lon=min_lon, max_lon=max_lon, min_lat=min_lat, max_lat=max_lat,
-    )
-    _, var = fill_kriging(
-        g, max_radius=max_radius, vparams=vparams,
-        row0=r0, col0=c0, steps=steps, with_variance=True,
-    )
-    return jnp.where(wv > 0.5, 0.0, var)
 
 
 class StreamingInterpolator:
@@ -214,9 +209,7 @@ class StreamingInterpolator:
         self._vparams = fit_variogram(g, max_lag=max_lag, n_bins=n_bins)
         return self._vparams
 
-    def window_fill(self, center_row: int, center_col: int):
-        """Interpolated (win_h, win_w) map around the vehicle; observed cells
-        keep their measured values, gaps are filled by the chosen method."""
+    def _window(self, center_row: int, center_col: int, *, method: str, variance: bool):
         self.flush()
         wh, ww = self.window
         H, W = self.shape
@@ -226,9 +219,14 @@ class StreamingInterpolator:
             self.elev, self.valid, self._meta,
             jnp.asarray(r0, jnp.int32), jnp.asarray(c0, jnp.int32),
             self._vparams,
-            win=self.window, method=self.method, k=self.k,
-            max_radius=self.max_radius, steps=self._steps,
+            win=self.window, method=method, k=self.k,
+            max_radius=self.max_radius, steps=self._steps, variance=variance,
         ), (r0, c0)
+
+    def window_fill(self, center_row: int, center_col: int):
+        """Interpolated (win_h, win_w) map around the vehicle; observed cells
+        keep their measured values, gaps are filled by the chosen method."""
+        return self._window(center_row, center_col, method=self.method, variance=False)
 
     def window_uncertainty(self, center_row: int, center_col: int):
         """Ordinary-kriging prediction-variance map around the vehicle — the
@@ -236,17 +234,7 @@ class StreamingInterpolator:
         reference never exposes uncertainty).  Observed cells read 0; cells
         with no resolvable neighborhood read NaN.  Uses the fitted variogram
         when fit_variogram() has run."""
-        self.flush()
-        wh, ww = self.window
-        H, W = self.shape
-        r0 = int(np.clip(center_row - wh // 2, 0, H - wh))
-        c0 = int(np.clip(center_col - ww // 2, 0, W - ww))
-        return _window_var(
-            self.elev, self.valid, self._meta,
-            jnp.asarray(r0, jnp.int32), jnp.asarray(c0, jnp.int32),
-            self._vparams,
-            win=self.window, max_radius=self.max_radius, steps=self._steps,
-        ), (r0, c0)
+        return self._window(center_row, center_col, method="kriging", variance=True)
 
     def snapshot(self) -> np.ndarray:
         """Host copy of the mosaic with NaN gaps (reference representation)."""
