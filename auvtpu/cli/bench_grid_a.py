@@ -26,7 +26,7 @@ from ..golden import GoldenGrid
 from ..grid import RegularGrid
 from ..io import ResultsWriter, read_grid_csv, write_grid_csv
 from ..synthetic import shelf_seamount
-from ..utils import steady_state_ms, time_once_ms
+from ..utils import steady_state_ms, time_once_ms, warm_e2e_ms
 
 
 def log(*a):
@@ -135,6 +135,9 @@ def main(argv=None):
             log(f"exact mode: dropping unsupported methods {dropped} "
                 "(the reference engine has no scattered IDW to be exact against)")
         args.methods = [m for m in args.methods if m in ops]
+        if args.backend == "fused":
+            log("exact mode: ignoring --backend fused (exact selection is the "
+                "f64 parity path; the fused kernel is f32-only)")
     elif args.packed:
         # stencil packs: every query fetches its whole neighborhood in ONE
         # row-block gather (ops/packs.py); pack build amortizes like the
@@ -219,15 +222,17 @@ def main(argv=None):
             qlo, qla = lons, lats
         for method in args.methods:
             fn = ops[method]
-            cold_ms, out = time_once_ms(fn, grid, qlo, qla)
+            first_ms, _ = time_once_ms(fn, grid, qlo, qla)  # compile; log-only
+            e2e_ms, out = warm_e2e_ms(fn, grid, qlo, qla)
             warm_ms = steady_state_ms(fn, grid, qlo, qla, iters=iters)
             log(
-                f"[A n={n:>9}] {method:8s} end-to-end {cold_ms:8.1f} ms   "
+                f"[A n={n:>9}] {method:8s} end-to-end {e2e_ms:8.1f} ms   "
                 f"steady {warm_ms:8.2f} ms  ({n/warm_ms*1e3/1e6:7.2f} M pts/s)"
+                f"  [first call {first_ms/1e3:.1f} s incl. compile]"
             )
             results.append(
                 args.machine, method, "A", n, warm_ms, None, None, None, None,
-                region="grid_a", cold_ms=cold_ms,
+                region="grid_a", cold_ms=e2e_ms,
             )
 
             if args.validate and goldens[method] is not None and n <= 1_000_000:

@@ -106,25 +106,30 @@ def fig_variogram_models(grid_b_csv: str, out: str):
         tail = mach.rsplit("-", 1)[-1]
         return tail if tail in models else None
 
-    variants = sorted(
-        m for m in b["Machine"].unique()
-        if not m.endswith(("-exact", "-centered"))
-    )
-    if len(variants) < 2:
+    # group machines by VARIANT (collapsing every non-suffixed machine —
+    # dashed hostnames included — into one baseline series), so each model
+    # gets exactly one bar series regardless of how many hosts produced rows
+    by_variant: dict[str, list[str]] = {}
+    for mach in b["Machine"].unique():
+        if mach.endswith(("-exact", "-centered")):
+            continue
+        key = variant_of(mach) or "exponential (ref constants)"
+        by_variant.setdefault(key, []).append(mach)
+    if len(by_variant) < 2:
         return False
+    variants = sorted(by_variant)
     groups = sorted(
         {(r, f) for r, f in zip(b["Region"], b["RemovalFraction"])}
     )
     fig, ax = plt.subplots(figsize=(9, 5), dpi=120)
     width = 0.8 / len(variants)
     x = np.arange(len(groups))
-    for i, mach in enumerate(variants):
+    for i, var in enumerate(variants):
         vals = []
         for region, removal in groups:
-            sub = b[(b["Region"] == region) & (b["RemovalFraction"] == removal) & (b["Machine"] == mach)]
+            sub = b[(b["Region"] == region) & (b["RemovalFraction"] == removal) & b["Machine"].isin(by_variant[var])]
             vals.append(sub["MAE"].mean() if len(sub) else np.nan)
-        label = variant_of(mach) or "exponential (ref constants)"
-        ax.bar(x + (i - len(variants) / 2 + 0.5) * width, vals, width, label=label)
+        ax.bar(x + (i - len(variants) / 2 + 0.5) * width, vals, width, label=var)
     ax.set_xticks(x, [f"{r[:10]} {f:g}" for r, f in groups], rotation=30, fontsize=8)
     ax.set_ylabel("Kriging MAE (m)")
     ax.set_title("Variogram model zoo: Grid B recovery error")

@@ -124,12 +124,18 @@ class ResultsWriter:
 
     - Region: the notebooks wished they had it (performance_results cell 14
       calls the manual row-range attribution 'very bad');
-    - EndToEndTime: the reference's Time column includes per-batch H2D/D2H
-      staging (GridD.cu:107-147 inside the timed region).  On TPU the honest
-      equivalents split: ``Time`` records steady-state device throughput
-      (queued dispatches, one sync) and ``EndToEndTime`` records one cold-ish
-      call including input staging and result readback — the
-      reference-comparable number.
+    - EndToEndTime: the reference's Time column is one batch call on an
+      already-built engine, including per-batch H2D/D2H staging and the
+      device sync (GridD.cu:107-147 inside the timed region) — and never
+      compilation.  On TPU the honest equivalents split: ``Time`` records
+      steady-state device throughput (queued dispatches, one scalar sync)
+      and ``EndToEndTime`` records one WARM end-to-end call — a compiled
+      dispatch plus full result readback (utils.timing.warm_e2e_ms) — the
+      reference-comparable number.  First-call compile/warmup time is
+      logged to stdout only, never recorded here.  Caveat: over the axon
+      dev tunnel every synced call pays a ~27 ms round trip and readback
+      runs at ~150 MB/s, so small-batch EndToEndTime measures the link
+      floor; production hosts see far less.
     """
 
     def __init__(self, path: str, with_region: bool = False, with_cold: bool = False):

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..grid import RegularGrid
-from .dense import sorted_offsets
 
 _LANES = 128
 
@@ -101,9 +100,23 @@ BICUBIC_OFFSETS = [(m, n) for m in range(-1, 3) for n in range(-1, 3)]
 
 
 def window_offsets(max_radius: int, convention: str = "reference"):
-    """Window offsets in v2 (distance, collection) order."""
-    dx, dy, _ = sorted_offsets(max_radius, convention)
-    return [(int(y), int(x)) for y, x in zip(dy, dx)]
+    """Window offsets in reference COLLECTION order (center, then ring
+    segments — ops.window.ring_tables' order, of which any smaller radius is
+    a prefix).  The pack/table index is therefore the collection index, so
+    ``lax.top_k``'s lowest-index tie preference (and the fused kernel's
+    first-lane min-extract) break equal-actual-d2 ties by collection order —
+    exactly like ``ops.window.window_select`` and the GoldenV2 oracle.  A
+    statically distance-sorted layout would instead break such ties by
+    static d2, making the TwoTier fast path disagree with its own escalation
+    on tie-line queries (the old docs/SEMANTICS.md caveat, now gone).
+
+    ``convention`` only affects runtime distances, never the layout; it is
+    accepted for signature compatibility with the callers that thread it."""
+    del convention
+    from .window import ring_tables
+
+    offs, _ = ring_tables(max_radius)  # (M, 2) columns (dx, dy)
+    return [(int(o[1]), int(o[0])) for o in offs]
 
 
 class StencilPack:

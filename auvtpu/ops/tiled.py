@@ -273,7 +273,7 @@ def _tiled_window_run(grid, tb, finish, *, k, window_radius, convention, tile, q
     halo = R
     n_tx = -(-W // tile[1])
     plane = _padded_plane(grid, halo, clamp=False, tile=tile)
-    offs = window_offsets(R, convention)  # v2 (distance, collection) order
+    offs = window_offsets(R, convention)  # reference collection order
 
     def body(slab, bx, by, r0, c0):
         ci = jnp.clip(jnp.floor(bx + 0.5).astype(jnp.int32), 0, W - 1)

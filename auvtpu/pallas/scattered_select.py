@@ -15,10 +15,11 @@ per (TN, 128) tile, emitting a compact (N, 1+3k) select tensor
 would idle 127/128 VPU lanes (~25 vreg-ops/query), while XLA fuses the same
 ~200 elementwise ops into one full-occupancy kernel (~1.5 ms at 5M).
 
-Semantics match ops.packs.packed_window_select exactly (v2 selection in the
-pack's static-distance order; ties at equal actual d2 break to the lowest
-lane index, same as lax.top_k — docs/SEMANTICS.md tie-order note), so the
-downstream math is literally shared: kriging_from_select / idw_from_select.
+Semantics match ops.packs.packed_window_select exactly (v2 selection over
+the collection-ordered pack; ties at equal actual d2 break to the lowest
+lane index = collection order, same as lax.top_k over the same table), so
+the downstream math is literally shared: kriging_from_select /
+idw_from_select.
 
 Reference behavior being reproduced: kernels.cu:403-546 (kriging selection),
 kernels.cu:240-330 (IDW) — per-query neighbor search on the device.

@@ -153,8 +153,13 @@ def _plane_coefs(d2, xy_k, vals_k, targets_xy, *, k: int):
     """Weighted least-squares plane z = a x + b y + c over the k neighbors in
     target-centered coordinates (Gaussian distance weights scaled to the kth
     neighbor).  Returns (coef (n, 3), rel (n, k, 2))."""
-    scale = jnp.maximum(d2[:, -1:], 1e-12)
-    w = jnp.exp(-d2 / scale)  # (n, k)
+    # pad lanes (kNN found < k points: d2=+inf) get weight 0; without the
+    # mask, scale=inf makes inf/inf=NaN weights that poison the normal
+    # equations for every query with any pad lane
+    ok = jnp.isfinite(d2)
+    d2s = jnp.where(ok, d2, 0.0)
+    scale = jnp.maximum(jnp.max(d2s, axis=1, keepdims=True), 1e-12)
+    w = jnp.where(ok, jnp.exp(-d2s / scale), 0.0)  # (n, k)
     rel = xy_k - targets_xy[:, None, :]  # center coords at the target
     X = jnp.concatenate([rel, jnp.ones_like(rel[..., :1])], axis=-1)  # (n,k,3)
     Xw = X * w[..., None]
@@ -201,46 +206,62 @@ def _ok_from_knn(d2, xy_k, vals_k, targets_xy, vparams, *, k: int, model: str = 
     """
     n = d2.shape[0]
     dt = d2.dtype
+    # pad lanes (kNN found < k points: idx=-1 clipped to 0, d2=+inf) must not
+    # enter the system as phantom duplicates of point 0 — they get weight 0
+    # via identity rows/cols (variogram form) or zeroed ones/c0 entries
+    # (covariance form).  Before this mask, only the diagonal jitter kept the
+    # duplicated-row solve alive and results silently degraded (ADVICE r2).
+    ok = jnp.isfinite(d2)  # (n, k)
+    okf = ok.astype(dt)
+    pair_ok = ok[:, :, None] & ok[:, None, :]
     dx = xy_k[:, :, None, 0] - xy_k[:, None, :, 0]
     dy = xy_k[:, :, None, 1] - xy_k[:, None, :, 1]
     vf = lambda h: variogram_model(h, vparams, model)
     h_kk = jnp.sqrt(dx * dx + dy * dy)
-    h_t = jnp.sqrt(d2)
+    h_t = jnp.sqrt(jnp.where(ok, d2, 1.0))  # pad: any finite value, masked out
     if model != "gaussian":
         # Ordinary-kriging weights are invariant to scaling gamma (only the
         # Lagrange multiplier rescales), so normalize the system to O(1):
         # raw gammas reach ~1e5+ for trend-dominated fields, which wrecks
         # the f32 (k+1)x(k+1) solve against the all-ones Lagrange row.
-        scale = vf(jnp.sqrt(jnp.maximum(jnp.max(d2), 1e-12)))
-        G = vf(h_kk) / scale  # (n,k,k)
+        scale = vf(jnp.sqrt(jnp.maximum(jnp.max(jnp.where(ok, d2, 0.0)), 1e-12)))
+        G = jnp.where(pair_ok, vf(h_kk) / scale, 0.0)  # (n,k,k)
         A = jnp.zeros((n, k + 1, k + 1), dt)
         A = A.at[:, :k, :k].set(G)
-        A = A.at[:, :k, k].set(1.0)
-        A = A.at[:, k, :k].set(1.0)
-        rhs = jnp.concatenate([vf(h_t) / scale, jnp.ones((n, 1), dt)], axis=1)
-        A = A.at[:, :k, :k].add(1e-4 * jnp.eye(k, dtype=dt))
+        A = A.at[:, :k, k].set(okf)
+        A = A.at[:, k, :k].set(okf)
+        rhs = jnp.concatenate([okf * vf(h_t) / scale, jnp.ones((n, 1), dt)], axis=1)
+        # valid lanes: conditioning jitter; pad lanes: unit diagonal so the
+        # decoupled row solves to exactly w_i = 0
+        diag = jnp.where(ok, jnp.asarray(1e-4, dt), jnp.asarray(1.0, dt))
+        A = A.at[:, :k, :k].add(diag[:, :, None] * jnp.eye(k, dtype=dt))
         w = jnp.linalg.solve(A, rhs[..., None])[..., 0]  # (n, k+1)
-        pred = jnp.sum(w[:, :k] * vals_k, axis=1)
+        pred = jnp.sum(w[:, :k] * vals_k * okf, axis=1)
+        pred = jnp.where(ok.any(axis=1), pred, jnp.nan)
         if not with_variance:
             return pred
         # sigma^2 = sum_i w_i gamma_i0 + mu; the system was scaled by
         # 'scale' (weights invariant, mu' = mu/scale)
-        var = jnp.sum(w[:, :k] * vf(h_t), axis=1) + w[:, k] * scale
+        var = jnp.sum(w[:, :k] * okf * vf(h_t), axis=1) + w[:, k] * scale
         return pred, jnp.maximum(var, 0.0)
 
     total = vparams[0] + vparams[1]  # gamma(inf) = nugget + sill
-    C = (total - vf(h_kk)) / total
-    c0 = (total - vf(h_t)) / total
-    C = C + 1e-3 * jnp.eye(k, dtype=dt)[None]
+    C = jnp.where(pair_ok, (total - vf(h_kk)) / total, 0.0)
+    c0 = okf * (total - vf(h_t)) / total
+    # valid lanes: PD jitter; pad lanes: unit diagonal (decoupled, u_i=v_i=0
+    # because their ones/c0 entries are zeroed below)
+    diag = jnp.where(ok, jnp.asarray(1e-3, dt), jnp.asarray(1.0, dt))
+    C = C + diag[:, :, None] * jnp.eye(k, dtype=dt)
     L = jnp.linalg.cholesky(C)
-    ones = jnp.ones((n, k, 1), dt)
+    ones = okf[..., None]
     u = jax.scipy.linalg.cho_solve((L, True), ones)
     v = jax.scipy.linalg.cho_solve((L, True), c0[..., None])
     lam = (1.0 - jnp.sum(v, axis=(1, 2))) / jnp.maximum(
         jnp.sum(u, axis=(1, 2)), jnp.asarray(1e-30, dt)
     )
     w = (v + lam[:, None, None] * u)[..., 0]
-    pred = jnp.sum(w * vals_k, axis=1)
+    pred = jnp.sum(w * vals_k * okf, axis=1)
+    pred = jnp.where(ok.any(axis=1), pred, jnp.nan)
     if not with_variance:
         return pred
     # variogram-form multiplier mu = +lambda: substituting gamma = ct - C

@@ -61,12 +61,20 @@ def main():
     lo32 = jnp.asarray(lons, jnp.float32)
     la32 = jnp.asarray(lats, jnp.float32)
 
-    def close(got, want, atol):
+    def close(got, want, atol, frac=1.0, hard_max=None):
+        """frac<1 allows that fraction of points to exceed atol (f32 near-tie
+        neighbor flips vs the f64 oracle are expected — test_ops.py uses the
+        same criterion); hard_max still bounds every point so catastrophic
+        scrambling (the bf16 incident: errors of tens of meters at many
+        points) can never hide in the tolerated tail."""
         got = np.asarray(got, np.float64)
         nan_ok = (np.isnan(got) == np.isnan(want)).all()
         m = ~np.isnan(want) & ~np.isnan(got)
-        err = float(np.abs(got[m] - want[m]).max()) if m.any() else 0.0
-        return nan_ok and err < atol, f"maxabs={err:.2e}"
+        err = np.abs(got[m] - want[m])
+        mx = float(err.max()) if m.any() else 0.0
+        within = float((err <= atol).mean()) if m.any() else 1.0
+        ok = nan_ok and within >= frac and mx < (hard_max if hard_max else atol)
+        return ok, f"maxabs={mx:.2e} within_tol={within:.4f}"
 
     span = float(np.nanmax(reduced) - np.nanmin(reduced))
     tol = 5e-5 * max(1.0, float(np.nanmax(np.abs(reduced))))
@@ -81,12 +89,30 @@ def main():
     check("packed_bilinear", *close(got, gref.bilinear(lons[:2000], lats[:2000]), tol))
 
     want_kr = gv2.kriging(lons[:2000], lats[:2000])
-    got = packed_kriging(sp.window, grid, lo32[:2000], la32[:2000])
-    check("packed_kriging", *close(got, want_kr, tol))
+    got_kr = packed_kriging(sp.window, grid, lo32[:2000], la32[:2000])
+    check("packed_kriging", *close(got_kr, want_kr, 0.15, frac=0.99, hard_max=100.0))
 
     want_id = gv2.idw(lons[:2000], lats[:2000], k=8)
-    got = packed_idw(sp.window, grid, lo32[:2000], la32[:2000])
-    check("packed_idw", *close(got, want_id, tol))
+    got_id = packed_idw(sp.window, grid, lo32[:2000], la32[:2000])
+    check("packed_idw", *close(got_id, want_id, 0.15, frac=0.99, hard_max=100.0))
+
+    # ---- chip vs CPU backend, SAME op, SAME dtype ------------------------
+    # The sharp bf16-incident detector: identical f32 programs on both
+    # backends must agree to float-rounding noise; any silent precision
+    # downgrade or selection scramble on the chip shows up here even though
+    # the f64-oracle comparison above tolerates a near-tie tail.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        grid_c = RegularGrid.from_nan_array(reduced, ext)
+        sp_c = StencilPack(grid_c, window_radius=2)
+        lo_c = jnp.asarray(lons[:2000], jnp.float32)
+        la_c = jnp.asarray(lats[:2000], jnp.float32)
+        cpu_kr = np.asarray(packed_kriging(sp_c.window, grid_c, lo_c, la_c))
+        cpu_id = np.asarray(packed_idw(sp_c.window, grid_c, lo_c, la_c))
+    check("packed_kriging chip==cpu(f32)",
+          *close(got_kr, cpu_kr, 2e-3, frac=0.999, hard_max=1.0))
+    check("packed_idw chip==cpu(f32)",
+          *close(got_id, cpu_id, 2e-3, frac=0.999, hard_max=1.0))
 
     # ---- fused Pallas scattered kernels vs the packed XLA path -----------
     from auvtpu.pallas import pallas_packed_idw, pallas_packed_kriging

@@ -47,8 +47,9 @@ def _single_process_reference():
     return [float(v) for v in vparams] + [float(jnp.nansum(plane))]
 
 
-@pytest.mark.timeout(600)
 def test_two_process_cluster_matches_single_process():
+    # child bound: the internal communicate(timeout=480) caps the subprocesses
+    # (pytest-timeout is not installed, so a mark here would be a no-op)
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")

@@ -186,3 +186,78 @@ def test_two_tier_fused_backend_matches_xla():
         assert (np.isnan(got) == np.isnan(want)).all()
         m = ~np.isnan(want)
         np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-3)
+
+
+def test_tie_line_queries_fast_equals_slow():
+    """Constructed tie-line queries (the 3fx+2fy=1 family): the packed fast
+    path, its radius-10 escalation, the fused Pallas select, and the GoldenV2
+    oracle must all break the equal-actual-d2 tie the same way — by reference
+    COLLECTION order (ring 1 before ring 2), never by the static window-table
+    order.  Regression test for the old distance-sorted pack layout, under
+    which `lax.top_k` picked the ring-2 cell (static d2 2.5 < 4.5) while the
+    escalation picked the ring-1 cell (VERDICT r2 ask #5)."""
+    from auvtpu.golden.v2 import GoldenV2
+    from auvtpu.ops.packs import packed_window_select
+    from auvtpu.ops.window import window_select
+
+    HH = WW = 32
+    # queries on 3fx+2fy=1 with dyadic (exact-in-f32) fractions; center (10,10)
+    ci, cj = 10, 10
+    fracs = [(0.25, 0.125), (0.375, -0.0625), (0.125, 0.3125), (0.4375, -0.15625)]
+    for fx, fy in fracs:
+        # offsets (dx,dy): A=(1,1) ring 1, B=(-2,-1) ring 2 tie exactly
+        dA = (1.5 - fx) ** 2 + (1.5 - fy) ** 2
+        dB = (1.5 + fx) ** 2 + (0.5 + fy) ** 2
+        assert np.float32(dA) == np.float32(dB), (fx, fy)
+
+    elev = np.full((HH, WW), np.nan, np.float64)
+    near = {(0, 0): 1.0, (0, -1): 2.0, (-1, 0): 3.0}  # d2 < tie distance
+    for (dx, dy), v in near.items():
+        elev[cj + dy, ci + dx] = v
+    elev[cj + 1, ci + 1] = 100.0    # A: ring 1 — collection order winner
+    elev[cj - 1, ci - 2] = -100.0   # B: ring 2 — static-d2 order winner
+    ext = Extent(0.0, float(WW - 1), 0.0, float(HH - 1))
+    grid = RegularGrid.from_nan_array(elev, ext)
+    gv2 = GoldenV2(elev, 0.0, float(WW - 1), 0.0, float(HH - 1))
+
+    lons = np.asarray([ci + fx for fx, _ in fracs], np.float32)
+    lats = np.asarray([cj + fy for _, fy in fracs], np.float32)
+    x = jnp.asarray(lons)
+    y = jnp.asarray(lats)
+    cii = jnp.full((len(fracs),), ci, jnp.int32)
+    cjj = jnp.full((len(fracs),), cj, jnp.int32)
+
+    sp = StencilPack(grid, window_radius=2)
+    sel_fast = packed_window_select(sp.window, grid, x, y, k=4, window_radius=2)
+    sel_slow = window_select(grid, x, y, cii, cjj, k=4, max_radius=10)
+    want_val, *_ = gv2._window_topk(lons.astype(np.float64), lats.astype(np.float64),
+                                    np.full(len(fracs), ci), np.full(len(fracs), cj), 4)
+    # slot 3 holds the tie winner: must be A (+100), by collection order
+    assert (want_val[:, 3] == 100.0).all()
+    np.testing.assert_allclose(np.asarray(sel_fast["val"]), want_val, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sel_slow["val"]), want_val, atol=1e-5)
+
+    # end-to-end: TwoTier fast path == its own escalation == oracle
+    from auvtpu.ops.two_tier import TwoTierInterpolator
+
+    tt = TwoTierInterpolator(grid)
+    got_k = np.asarray(tt.kriging(x, y))
+    want_k = np.asarray(scattered_kriging(grid, x, y, max_radius=10))
+    np.testing.assert_allclose(got_k, want_k, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(got_k, gv2.kriging(lons, lats), rtol=1e-4, atol=1e-2)
+    got_i = np.asarray(tt.idw(x, y, k=4))
+    want_i = np.asarray(scattered_idw(grid, x, y, k=4, max_radius=10))
+    np.testing.assert_allclose(got_i, want_i, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(got_i, gv2.idw(lons, lats, k=4), rtol=1e-4, atol=1e-2)
+
+    # fused Pallas select (interpret mode) uses the same collection-order table
+    from auvtpu.pallas import pallas_available
+
+    if pallas_available():
+        from jax.experimental.pallas import tpu as pltpu
+
+        from auvtpu.pallas import pallas_window_select
+
+        with pltpu.force_tpu_interpret_mode():
+            sel_f = pallas_window_select(sp.window, grid, x, y, k=4, window_radius=2)
+            np.testing.assert_allclose(np.asarray(sel_f["val"]), want_val, atol=1e-5)
