@@ -46,11 +46,28 @@ def main(argv=None):
         help="kriging only: fit a directional ellipse (nugget, sill, rx, ry, "
         "theta) from the samples and krige in correlation distance",
     )
+    p.add_argument(
+        "--density", default="uniform", choices=["uniform", "strip"],
+        help="sample layout: 'strip' concentrates 10x sampling odds in a "
+        "central row corridor (survey-track analog) — the variable-density "
+        "regime where adaptive IDW's per-query power matching pays",
+    )
+    p.add_argument(
+        "--results", default=None,
+        help="append reference-schema rows (GridType=P, Machine suffixed "
+        "with the density) to this CSV",
+    )
     args = p.parse_args(argv)
 
     elev, ext = load_region(args.region, args.gebco_root)
-    print(f"{args.region}: {elev.shape[1]} x {elev.shape[0]} cells, sampling {args.subset:.1%}")
+    print(f"{args.region}: {elev.shape[1]} x {elev.shape[0]} cells, sampling {args.subset:.1%} ({args.density})")
     span = np.nanmax(elev) - np.nanmin(elev)
+
+    writer = None
+    if args.results:
+        from ..io import ResultsWriter
+
+        writer = ResultsWriter(args.results, with_region=True, with_cold=True)
 
     for method in args.methods:
         t0 = time.time()
@@ -58,14 +75,24 @@ def main(argv=None):
             elev, ext, subset_fraction=args.subset, method=method, k=args.k,
             seed=args.seed, model=args.model, trend=args.trend,
             aniso=args.aniso and method == "kriging",
+            density=args.density,
         )
         dt = time.time() - t0
         hold = ~sample_mask  # score on non-sample cells (test_interpolation.py:111-146)
-        rmse = float(np.sqrt(np.nanmean((pred[hold] - elev[hold]) ** 2)))
+        err = pred[hold] - elev[hold]
+        rmse = float(np.sqrt(np.nanmean(err**2)))
+        mae = float(np.nanmean(np.abs(err)))
+        mx = float(np.nanmax(np.abs(err)))
         print(
             f"  {method:8s}: RMSE {rmse:9.3f} m  ({100*rmse/span:5.2f}% of range)  "
-            f"wall {dt:6.1f}s for {hold.sum()} predictions"
+            f"MAE {mae:8.3f} m  wall {dt:6.1f}s for {hold.sum()} predictions"
         )
+        if writer is not None:
+            writer.append(
+                f"TPU-proto-{args.density}", method, "P", int(hold.sum()),
+                dt * 1e3, 1.0 - args.subset, mae, rmse, mx,
+                region=args.region, cold_ms=dt * 1e3,
+            )
         if args.out_prefix:
             np.save(f"{args.out_prefix}_{method}.npy", pred)
 

@@ -452,16 +452,29 @@ def sample_and_reconstruct(
     model: str = "exponential",
     trend: str = "plane",
     aniso: bool = False,
+    density: str = "uniform",
 ):
     """Sample ``subset_fraction`` of the grid cells (seeded, like
     interpolate()'s df.sample(random_state=42), test_interpolation.py:49) and
     re-predict every grid cell from the samples.  Returns (pred (H, W),
     sample_mask (H, W) bool).  aniso=True (kriging only) fits a directional
-    ellipse and kriges in correlation distance."""
+    ellipse and kriges in correlation distance.
+
+    density='strip' draws the samples non-uniformly — 10x the sampling odds
+    inside the central 20% of rows (a survey-track analog: one densely
+    mapped corridor, sparse context elsewhere).  This is the variable-
+    density regime adaptive IDW's per-query power matching targets."""
     H, W = elev.shape
     rng = np.random.RandomState(seed)
     n = int(H * W * subset_fraction)
-    flat = rng.choice(H * W, size=n, replace=False)
+    if density == "uniform":
+        flat = rng.choice(H * W, size=n, replace=False)
+    elif density == "strip":
+        w = np.ones(H * W, np.float64)
+        w.reshape(H, W)[int(0.4 * H) : int(0.6 * H)] = 10.0
+        flat = rng.choice(H * W, size=n, replace=False, p=w / w.sum())
+    else:
+        raise ValueError(density)
     rr, cc = np.divmod(flat, W)
     lat_step, lon_step = extent.steps(H, W)
     pts_xy = np.stack(

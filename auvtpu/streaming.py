@@ -15,8 +15,10 @@ map around the vehicle must stay interpolated.  TPU-native design:
   slice and runs the dense fill ops on it — constant shapes, so the whole
   loop is two compiled programs regardless of vehicle position.
 
-For mosaics larger than one chip, combine with parallel.spatial row-band
-sharding (the window crop then runs per band holding the vehicle).
+For mosaics larger than one chip, :class:`auvtpu.parallel.streaming.
+ShardedStreamingInterpolator` keeps these planes row-band-sharded over a
+mesh: ingest scatters route to the owning band and the window crop is
+psum-assembled from the bands before running the same fill program.
 """
 
 from __future__ import annotations
@@ -64,13 +66,11 @@ def _ingest_batch(elev, valid, obs, n_live):
     return ev, ok.reshape(valid.shape)
 
 
-@partial(jax.jit, static_argnames=("win", "method", "k", "max_radius", "steps", "variance"))
-def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radius, steps, variance=False):
-    """Window fill (or, with variance=True, the kriging prediction-variance
-    surface with observed cells at 0).  One function so the window geometry
-    invariants live in one place."""
-    we = jax.lax.dynamic_slice(elev, (r0, c0), win)
-    wv = jax.lax.dynamic_slice(valid, (r0, c0), win)
+def _fill_window_planes(we, wv, meta, r0, c0, vparams, *, method, k, max_radius, steps, variance=False):
+    """Fill math over an already-cropped (win_h, win_w) window — shared by
+    the single-device path (dynamic-slice crop) and the row-band-sharded
+    path (psum-assembled crop, parallel.streaming), so both run literally
+    the same program on the cropped planes."""
     min_lon, max_lon, min_lat, max_lat = meta
     g = RegularGrid(
         elev=we, valid=wv,
@@ -101,6 +101,19 @@ def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radi
     else:
         raise ValueError(method)
     return jnp.where(wv > 0.5, we, plane)
+
+
+@partial(jax.jit, static_argnames=("win", "method", "k", "max_radius", "steps", "variance"))
+def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radius, steps, variance=False):
+    """Window fill (or, with variance=True, the kriging prediction-variance
+    surface with observed cells at 0).  One function so the window geometry
+    invariants live in one place."""
+    we = jax.lax.dynamic_slice(elev, (r0, c0), win)
+    wv = jax.lax.dynamic_slice(valid, (r0, c0), win)
+    return _fill_window_planes(
+        we, wv, meta, r0, c0, vparams,
+        method=method, k=k, max_radius=max_radius, steps=steps, variance=variance,
+    )
 
 
 class StreamingInterpolator:
@@ -184,10 +197,14 @@ class StreamingInterpolator:
         if m == 0:
             return 0
         # constant compiled shape: always ship the full stage buffer; the
-        # n_live scalar masks the tail on device
+        # n_live scalar masks the tail on device.  The .copy() is load-
+        # bearing: on the CPU backend jnp.asarray can ZERO-COPY alias the
+        # numpy staging buffer, and the next ingest() would mutate it under
+        # the still-pending scatter (observed as run-order-dependent mosaics
+        # whenever compile time didn't mask the race).
         self.elev, self.valid = _ingest_batch(
             self.elev, self.valid,
-            jnp.asarray(self._stage), jnp.asarray(m, jnp.int32),
+            jnp.asarray(self._stage.copy()), jnp.asarray(m, jnp.int32),
         )
         self._staged = 0
         return m

@@ -2,12 +2,19 @@
 
 Runs, SERIALLY on the real chip (CLAUDE.md: one chip process at a time):
 1. Grid B per region x removal, all methods, reference + centered +
-   fitted-gaussian variogram rows -> results/TestingResults_gridB.csv;
-2. Grid A batch sweep with the fused scattered backend
+   fitted-gaussian variogram + bit-exact selection rows
+   -> results/TestingResults_gridB.csv;
+2. Grid A batch sweep (backend per --backend-a)
    -> results/TestingResults_gridA.csv;
-3. figure regeneration (runtime curves, accuracy bars, variogram zoo).
+3. the scattered-prototype AIDW-vs-IDW measurement on a variable-density
+   (survey-strip) sampling of the US-East tile -> the Grid B CSV (GridType=P);
+4. figure regeneration (runtime curves, accuracy bars, variogram zoo).
 
-Usage: python scripts/chip_campaign.py [--quick]
+The writers are append-only; pass --fresh to rebuild the CSVs from zero
+(required after a timing-semantics change, e.g. the round-3 warm
+EndToEndTime fix — stale columns must not mix with honest ones).
+
+Usage: python scripts/chip_campaign.py [--quick] [--fresh]
   --quick: one region / two batch sizes (smoke the pipeline first).
 """
 
@@ -24,8 +31,14 @@ BATCHES = ["1000", "10000", "100000", "1000000", "5000000"]
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--fresh", action="store_true",
+                   help="delete the target CSVs first (full rebuild)")
     p.add_argument("--results-b", default="results/TestingResults_gridB.csv")
     p.add_argument("--results-a", default="results/TestingResults_gridA.csv")
+    p.add_argument("--backend-a", default="fused", choices=["xla", "fused"],
+                   help="Grid A kriging/IDW backend (set by the perf_sweep winner)")
+    p.add_argument("--skip-exact", action="store_true",
+                   help="skip the (slow) bit-exact parity rows")
     args = p.parse_args()
 
     import jax
@@ -36,22 +49,51 @@ def main():
         print("refusing to stamp 'TPU' rows from a CPU run", flush=True)
         sys.exit(1)
 
-    from auvtpu.cli import bench_grid_a, bench_grid_b, figures
+    if args.fresh:
+        for f in (args.results_b, args.results_a):
+            if os.path.exists(f):
+                os.remove(f)
+                print(f"removed {f} (--fresh)", flush=True)
+
+    from auvtpu.cli import bench_grid_a, bench_grid_b, figures, prototype
 
     regions = REGIONS[:1] if args.quick else REGIONS
+    variants = [[], ["--convention", "centered"], ["--variogram-model", "gaussian"]]
+    if not args.skip_exact:
+        variants.append(["--selection", "exact"])
     for region, removal in regions:
-        for extra in ([], ["--convention", "centered"], ["--variogram-model", "gaussian"]):
-            bench_grid_b.main([
+        for extra in variants:
+            argv = [
                 "--region", region, "--removal", removal,
                 "--results", args.results_b,
-            ] + extra)
+            ] + extra
+            if "exact" in extra:
+                # exact mode flips jax_enable_x64 process-wide; isolate it in
+                # a subprocess so the remaining f32 runs stay untouched
+                import subprocess
+
+                subprocess.run(
+                    [sys.executable, "-m", "auvtpu.cli.bench_grid_b"] + argv,
+                    check=True,
+                )
+            else:
+                bench_grid_b.main(argv)
 
     batches = BATCHES[:2] if args.quick else BATCHES
     bench_grid_a.main([
         "--batch-sizes", *batches,
         "--results", args.results_a,
-        "--backend", "fused",
+        "--backend", args.backend_a,
     ])
+
+    # AIDW headline measurement (VERDICT r2 weak #4): variable-density strip
+    # sampling of the real US-East tile, rows committed next to the Grid B data
+    if not args.quick:
+        prototype.main([
+            "--region", "us_east_coast", "--subset", "0.01",
+            "--methods", "idw", "aidw", "--density", "strip",
+            "--results", args.results_b,
+        ])
 
     figures.main(["--grid-a", args.results_a, "--grid-b", args.results_b])
     print("campaign done", flush=True)

@@ -227,12 +227,20 @@ def test_stream_demo_cli(tmp_path):
     assert np.isfinite(snap).any()
 
 
-def test_prototype_cli(capsys):
+def test_prototype_cli(capsys, tmp_path):
     from auvtpu.cli.prototype import main
 
-    main(["--region", "mid_atlantic", "--subset", "0.02", "--methods", "idw", "--k", "8"])
+    res = str(tmp_path / "proto.csv")
+    main(["--region", "mid_atlantic", "--subset", "0.02", "--methods", "idw",
+          "--k", "8", "--density", "strip", "--results", res])
     out = capsys.readouterr().out
-    assert "idw" in out and "% of range" in out
+    assert "idw" in out and "% of range" in out and "(strip)" in out
+    import pandas as pd
+
+    df = pd.read_csv(res)
+    assert list(df["Machine"]) == ["TPU-proto-strip"]
+    assert list(df["GridType"]) == ["P"]
+    assert df["MAE"].iloc[0] > 0 and df["RMSE"].iloc[0] >= df["MAE"].iloc[0]
 
 
 def test_fig_variogram_models(tmp_path):
