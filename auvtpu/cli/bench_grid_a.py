@@ -154,7 +154,19 @@ def main(argv=None):
         sp = StencilPack(grid, window_radius=min(R, 2))
         # fully-observed grid => single-reduction fast path (no fallback pass)
         av = bool(np.isfinite(np.asarray(elev)).all())
-        if args.backend == "fused":
+        if av and R <= 2 and args.backend == "xla":
+            # fully-valid grids: the top-4 candidate set provably fits a
+            # 16-lane pack (ops.packs.packed_kriging_valid) — selection
+            # tensors halve and 5M kriging moves from select-bound (~87 M
+            # pts/s) toward the fetch floor
+            from ..ops.packs import build_valid16_pack, packed_kriging_valid
+
+            p16 = build_valid16_pack(grid)
+            krig = lambda g, lo, la: packed_kriging_valid(p16, g, lo, la)
+            idw = lambda g, lo, la: packed_idw(
+                sp.window, g, lo, la, window_radius=sp.window_radius
+            )
+        elif args.backend == "fused":
             from ..pallas import pallas_packed_idw, pallas_packed_kriging
 
             krig = lambda g, lo, la: pallas_packed_kriging(

@@ -279,6 +279,13 @@ def window_select_from_stencil(st, x, y, oob, ci, cj, *, k, window_radius, conve
     """v2 top-k selection from a window stencil in v2 offset order (NaN =
     invalid tap); shared by the pack-fetch and tile-extraction paths."""
     offs = window_offsets(window_radius)
+    return select_from_stencil(st, offs, x, y, oob, ci, cj, k=k, convention=convention)
+
+
+def select_from_stencil(st, offs, x, y, oob, ci, cj, *, k, convention="reference"):
+    """v2 top-k over an arbitrary collection-ordered offset table (the
+    general core of window_select_from_stencil; also serves the 16-lane
+    valid-grid fast path, whose table is a filtered subset)."""
     half = 0.5 if convention == "reference" else 0.0
     dyx = np.asarray(offs, np.float32)
     di = (ci[:, None].astype(x.dtype) + dyx[None, :, 1] + half) - x[:, None]
@@ -296,8 +303,16 @@ def window_select_from_stencil(st, x, y, oob, ci, cj, *, k, window_radius, conve
     ).astype(st.dtype)
     pick = lambda a: jnp.einsum("nkm,nm->nk", oh, a)
     vals = jnp.where(slot_ok, pick(jnp.where(ok, st[:, :m], 0.0)), 0.0)
-    sel_dy = pick(jnp.broadcast_to(dyx[None, :, 0], d2.shape))
-    sel_dx = pick(jnp.broadcast_to(dyx[None, :, 1], d2.shape))
+    # ONE composite position code instead of separate dy/dx picks: each
+    # (N, k, m) einsum reads the materialized one-hot again (~1.3 GB at 5M
+    # queries), so folding (dy, dx) into (dy+R)*B + (dx+R) saves a pass;
+    # codes stay exact in f32 (B <= 22 for R <= 10 => codes < 500)
+    R = int(np.abs(dyx).max())
+    B = 2 * R + 2
+    code_tab = (dyx[:, 0] + R) * B + (dyx[:, 1] + R)
+    code = pick(jnp.broadcast_to(jnp.asarray(code_tab, st.dtype)[None, :], d2.shape))
+    sel_dy = jnp.floor(code / B) - R
+    sel_dx = code - (sel_dy + R) * B - R
     return {
         "x": x, "y": y, "oob": oob, "ci": ci, "cj": cj,
         "val": vals, "d2": -top_neg, "slot_ok": slot_ok,
@@ -364,3 +379,65 @@ def packed_idw(pack, grid: RegularGrid, lons, lats, *, k: int = 8, power: float 
     cfg = IDWConfig(k=k, power=power)
     sel = packed_window_select(pack, grid, lons, lats, k=k, window_radius=window_radius, convention=convention)
     return idw_from_select(sel, power=power, eps=cfg.eps)
+
+
+# ---------------------------------------------------------------------------
+# fully-valid-grid kriging fast path: 16-lane candidate pack
+# ---------------------------------------------------------------------------
+
+# {-2..1}^2 in reference COLLECTION order (a filtered subset of the radius-2
+# window table, so relative tie order is preserved)
+VALID16_OFFSETS = [
+    (dy, dx) for (dy, dx) in window_offsets(2) if -2 <= dy <= 1 and -2 <= dx <= 1
+]
+
+
+def build_valid16_pack(grid: RegularGrid):
+    """16-lane {-2..1}^2 window pack for packed_kriging_valid (16x grid
+    bytes — half the radius-2 window pack)."""
+    pack, P = build_pack(grid, VALID16_OFFSETS, clamp=False)
+    assert P == 16
+    return pack
+
+
+@partial(jax.jit, static_argnames=("convention", "model"))
+def packed_kriging_valid(pack16, grid: RegularGrid, lons, lats, *, vparams=None, convention: str = "reference", model: str = "exponential"):
+    """Kriging fast path for FULLY-VALID grids (Grid A): the top-4 candidate
+    set provably fits a 16-lane pack, halving every selection tensor.
+
+    Containment proof (reference convention, f = x - floor(x+0.5) in
+    [-0.5, 0.5)): the inner 2x2 quad {0,-1}^2 always has d2 <= (0.5+|fx|)^2
+    + (0.5+|fy|)^2 <= 2, while any cell OUTSIDE {-2..1}^2 has a per-axis
+    center distance > 2 in the offending axis, so d2 > 4 — it can never
+    displace the quad, and the 4 nearest cells of the radius-2 window lie in
+    {-2..1}^2.  At grid edges the out-of-grid taps are NaN-marked and the
+    surviving in-grid top-4 still fits: e.g. a column-2 cell beats the (1,1)
+    quad corner only if fx - fy > 1, impossible on half-open fractions.
+    The 16-entry table is the collection-order FILTERED radius-2 table, so
+    tie order matches packed_kriging/window_select exactly — the selected
+    sets are identical and the order-invariant 5x5 solve gives the same
+    prediction (pinned by tests/test_packs.py::test_packed_kriging_valid_*).
+
+    ONLY valid on fully-observed grids: on masked grids the 4 nearest VALID
+    cells may lie outside {-2..1}^2.  Callers gate on grid validity
+    (cli/bench_grid_a.py's assume-valid check).
+
+    Reference behavior reproduced: kernels.cu:403-546 in the all-valid case
+    (every ring search satisfied immediately by the adjacent cells).
+    """
+    if convention != "reference":
+        raise ValueError(
+            "packed_kriging_valid's containment proof is for the reference "
+            "(+0.5) convention; use packed_kriging for 'centered'"
+        )
+    x, y, oob = _normalize(grid, lons, lats)
+    W, H = grid.num_lon, grid.num_lat
+    ci = jnp.clip(jnp.floor(x + 0.5).astype(jnp.int32), 0, W - 1)
+    cj = jnp.clip(jnp.floor(y + 0.5).astype(jnp.int32), 0, H - 1)
+    st = fetch_pack(pack16, 16, cj * W + ci)
+    sel = select_from_stencil(
+        st, VALID16_OFFSETS, x, y, oob, ci, cj, k=4, convention=convention
+    )
+    return kriging_from_select(
+        grid, lons, lats, sel, vparams=vparams, convention=convention, model=model
+    )

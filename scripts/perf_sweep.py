@@ -25,6 +25,9 @@ def main():
 
     from auvtpu.config import Extent
     from auvtpu.grid import RegularGrid
+
+    def grid_extent(w, h):
+        return Extent(0.0, float(w - 1), 0.0, float(h - 1))
     from auvtpu.masking import mask_grid
     from auvtpu.ops.packs import (
         StencilPack, packed_bicubic, packed_bilinear, packed_idw, packed_kriging,
@@ -61,16 +64,33 @@ def main():
     rows = []
 
     def bench(name, fn, n=N, iters=10):
-        ms = steady_state_ms(fn, iters=iters, warmup=2)
+        try:
+            ms = steady_state_ms(fn, iters=iters, warmup=2)
+        except Exception as e:  # one infeasible config must not kill the sweep
+            print(f"{name:28s} FAILED {type(e).__name__}", flush=True)
+            return
         rows.append((name, ms, n / ms / 1e3))
         print(f"{name:28s} {ms:8.2f} ms   {n/ms/1e3:8.1f} M pts/s", flush=True)
 
     bench("packed_kriging", lambda: packed_kriging(sp.window, grid, lons, lats))
-    for tn in (512, 1024, 2048, 4096):
+    # fully-valid fast path (Grid A regime): top-4 fits a 16-lane pack
+    from auvtpu.ops.packs import build_valid16_pack, packed_kriging_valid
+
+    grid_valid = RegularGrid.dense(shelf_seamount(H, W), grid_extent(W, H))
+    sp_v = StencilPack(grid_valid, window_radius=2)
+    p16 = build_valid16_pack(grid_valid)
+    wv = np.asarray(packed_kriging(sp_v.window, grid_valid, ls, lt))
+    gv = np.asarray(packed_kriging_valid(p16, grid_valid, ls, lt))
+    err_v = float(np.abs(gv - wv).max())
+    print(f"parity packed_kriging_valid: maxabs={err_v:.2e}", flush=True)
+    assert err_v < 1e-2
+    bench("packed_kriging_valid16", lambda: packed_kriging_valid(p16, grid_valid, lons, lats))
+    # tn >= 2048 exceeds the 16M scoped-vmem stack (measured r3: 18.23M ask)
+    for tn in (512, 1024):
         bench(f"pallas_kriging tn={tn}",
               lambda tn=tn: pallas_packed_kriging(sp.window, grid, lons, lats, tile_n=tn))
     bench("packed_idw", lambda: packed_idw(sp.window, grid, lons, lats))
-    for tn in (1024, 2048):
+    for tn in (512, 1024):
         bench(f"pallas_idw tn={tn}",
               lambda tn=tn: pallas_packed_idw(sp.window, grid, lons, lats, tile_n=tn))
     bench("packed_bilinear",

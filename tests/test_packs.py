@@ -261,3 +261,40 @@ def test_tie_line_queries_fast_equals_slow():
         with pltpu.force_tpu_interpret_mode():
             sel_f = pallas_window_select(sp.window, grid, x, y, k=4, window_radius=2)
             np.testing.assert_allclose(np.asarray(sel_f["val"]), want_val, atol=1e-5)
+
+
+def test_packed_kriging_valid_matches_windowed():
+    """The 16-lane {-2..1}^2 fast path must equal the full radius-2 windowed
+    v2 top-4 on fully-valid grids — including near-half-cell fractional
+    positions (where a first, WRONG design that assumed a static 2x2
+    neighbor set diverged: at |f| ~ 0.5 the 4th neighbor can be the (+1, 0)
+    cell, not (-1, -1)), exact tie positions, and edge-clipped anchors
+    (containment proof in ops.packs.packed_kriging_valid's docstring)."""
+    from auvtpu.ops.packs import build_valid16_pack, packed_kriging_valid
+
+    grid = _mk(False)
+    sp = StencilPack(grid, window_radius=2)
+    p16 = build_valid16_pack(grid)
+    lons, lats = _queries(500, seed=33)
+    extra_x = np.asarray(
+        [10.0, 10.5, 0.2, W - 1.2, 1e-6, 33.25, 17.5, 0.4, 5.4999, 7.0], np.float32
+    )
+    extra_y = np.asarray(
+        [12.0, 7.5, 0.3, 5.0, H - 1.3, 41.5, 0.1, H - 1 - 1e-6, 3.4999, 9.5], np.float32
+    )
+    lons = np.concatenate([lons, extra_x])
+    lats = np.concatenate([lats, extra_y])
+    a = np.asarray(packed_kriging_valid(p16, grid, lons, lats))
+    b = np.asarray(packed_kriging(sp.window, grid, lons, lats, window_radius=2))
+    assert (np.isnan(a) == np.isnan(b)).all()
+    m = ~np.isnan(a)
+    np.testing.assert_allclose(a[m], b[m], rtol=1e-6, atol=1e-4)
+
+
+def test_packed_kriging_valid_rejects_centered():
+    from auvtpu.ops.packs import build_valid16_pack, packed_kriging_valid
+
+    grid = _mk(False)
+    p16 = build_valid16_pack(grid)
+    with pytest.raises(ValueError):
+        packed_kriging_valid(p16, grid, *_queries(8), convention="centered")
