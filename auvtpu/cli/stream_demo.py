@@ -81,16 +81,34 @@ def main(argv=None):
         "kriging prediction-variance map around the vehicle (the 'survey "
         "here next' surface)",
     )
+    p.add_argument(
+        "--shard", type=int, default=1, metavar="N",
+        help="run the mosaic row-band-sharded over an N-device mesh "
+        "(parallel.streaming.ShardedStreamingInterpolator) — the scale-out "
+        "path for mosaics larger than one chip's HBM; same results bit for "
+        "bit.  Needs N visible devices (e.g. JAX_PLATFORMS=cpu XLA_FLAGS="
+        "--xla_force_host_platform_device_count=N for a virtual mesh)",
+    )
     args = p.parse_args(argv)
 
     H, W = args.mosaic
     rng = np.random.default_rng(args.seed)
     truth = shelf_seamount(H, W)
     ext = Extent(0.0, float(W - 1), 0.0, float(H - 1))
-    si = StreamingInterpolator(
-        (H, W), ext, window=(args.window, args.window), method=args.method,
-        max_radius=5,
-    )
+    if args.shard > 1:
+        from ..parallel import ShardedStreamingInterpolator, make_mesh
+
+        si = ShardedStreamingInterpolator(
+            (H, W), ext, make_mesh(args.shard),
+            window=(args.window, args.window), method=args.method,
+            max_radius=5,
+        )
+        log(f"mosaic row-band-sharded over {args.shard} devices")
+    else:
+        si = StreamingInterpolator(
+            (H, W), ext, window=(args.window, args.window), method=args.method,
+            max_radius=5,
+        )
 
     vr, vc = lawnmower_track(H, W, args.steps, args.line_spacing)
     # across-track beam offsets (perpendicular to the along-row track)

@@ -226,6 +226,14 @@ def test_stream_demo_cli(tmp_path):
     assert snap.shape == (192, 192)
     assert np.isfinite(snap).any()
 
+    # --shard 8: the row-band-sharded mosaic runs the same survey and lands
+    # the same RMSE (full bit-parity is pinned in test_streaming_sharded)
+    rmse_s, _ = main([
+        "--mosaic", "192", "192", "--steps", "40", "--beams", "96",
+        "--fill-every", "20", "--window", "96", "--shard", "8",
+    ])
+    assert rmse_s == rmse
+
 
 def test_prototype_cli(capsys, tmp_path):
     from auvtpu.cli.prototype import main
