@@ -70,8 +70,18 @@ def build_pack(grid: RegularGrid, offsets, clamp: bool):
     return jnp.stack(planes, axis=-1).reshape(-1), P
 
 
-def fetch_pack(pack: jax.Array, P: int, cell_idx: jax.Array) -> jax.Array:
-    """cell_idx (N,) int32 -> (N, P) stencil values (NaN = invalid tap).
+def fetch_pack(
+    pack: jax.Array,
+    P: int,
+    cell_idx: jax.Array,
+    nan_invalid: bool = True,
+    transposed: bool = False,
+) -> jax.Array:
+    """cell_idx (N,) int32 -> (N, P) stencil values (NaN = invalid tap;
+    ``nan_invalid=False`` keeps the raw +1e30 sentinel — consumers that
+    multiply by one-hot masks need it, 0*NaN poisons the product;
+    ``transposed=True`` emits (P, N) with the one-hot einsum writing the
+    transposed layout directly, for lanes-major Pallas consumers).
 
     One (N, 128) row-block fetch + a (128/P)-way sub-block select.
     """
@@ -87,7 +97,9 @@ def fetch_pack(pack: jax.Array, P: int, cell_idx: jax.Array) -> jax.Array:
     oh = (
         sub[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
     ).astype(pack.dtype)
-    st = jnp.einsum("ng,ngp->np", oh, rdg)
+    st = jnp.einsum("ng,ngp->pn" if transposed else "ng,ngp->np", oh, rdg)
+    if not nan_invalid:
+        return st
     return jnp.where(st >= 0.5 * _SENTINEL, jnp.nan, st)
 
 

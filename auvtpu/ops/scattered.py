@@ -176,6 +176,21 @@ def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), 
     the reference never exposes, and the natural 'survey here next' signal
     for an AUV mission.
     """
+    return krige_solve_cols(
+        qlon, qlat,
+        [vals[:, a] for a in range(4)],
+        [cx[:, a] for a in range(4)],
+        [cy[:, a] for a in range(4)],
+        cfg, vparams=vparams, model=model, with_variance=with_variance,
+    )
+
+
+def krige_solve_cols(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), vparams=None, model: str = "exponential", with_variance: bool = False):
+    """Column-form krige_solve core: ``vals``/``cx``/``cy`` are length-4
+    sequences of (N,) arrays.  Lets transposed producers (the Pallas
+    valid-grid select emits a (13, N) tensor whose rows ARE the per-slot
+    vectors) feed the solve with zero relayout; krige_solve slices (N, 4)
+    inputs into this form."""
     vg = (
         vparams
         if vparams is not None
@@ -187,7 +202,8 @@ def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), 
         from ..variogram import variogram_model
 
         vf = lambda h: variogram_model(h, vg, model)
-    n = vals.shape[0]
+    n = vals[0].shape[0]
+    dt = vals[0].dtype
 
     # Scalar-register formulation: the 5x6 system lives in 30 (N,) vectors so
     # the whole build + unpivoted Gauss-Jordan fuses into one elementwise XLA
@@ -198,15 +214,15 @@ def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), 
             if b < a:
                 M[a][b] = M[b][a]  # symmetric distances
                 continue
-            dx = cx[:, a] - cx[:, b]
-            dy = cy[:, a] - cy[:, b]
+            dx = cx[a] - cx[b]
+            dy = cy[a] - cy[b]
             M[a][b] = vf(jnp.sqrt(dx * dx + dy * dy))
-        M[a][4] = jnp.ones((n,), vals.dtype)
-        ddx = cx[:, a] - qlon
-        ddy = cy[:, a] - qlat
+        M[a][4] = jnp.ones((n,), dt)
+        ddx = cx[a] - qlon
+        ddy = cy[a] - qlat
         M[a][5] = vf(jnp.sqrt(ddx * ddx + ddy * ddy))
     gamma0 = [M[a][5] for a in range(4)]  # gamma(h_i0), pre-elimination
-    M[4] = [jnp.ones((n,), vals.dtype)] * 4 + [jnp.zeros((n,), vals.dtype), jnp.ones((n,), vals.dtype)]
+    M[4] = [jnp.ones((n,), dt)] * 4 + [jnp.zeros((n,), dt), jnp.ones((n,), dt)]
     # symmetric aliasing above shares arrays; make row 4 entries independent
     # is unnecessary (they are fresh arrays already)
 
@@ -225,10 +241,10 @@ def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), 
                 M[r][q] = M[r][q] - f * M[i][q]
 
     pred = (
-        M[0][5] * vals[:, 0]
-        + M[1][5] * vals[:, 1]
-        + M[2][5] * vals[:, 2]
-        + M[3][5] * vals[:, 3]
+        M[0][5] * vals[0]
+        + M[1][5] * vals[1]
+        + M[2][5] * vals[2]
+        + M[3][5] * vals[3]
     )
     if not with_variance:
         return pred, singular

@@ -27,6 +27,10 @@ from .scattered_select import (
     pallas_packed_idw,
     pallas_window_select,
 )
+from .valid_select import (
+    pallas_kriging_valid,
+    valid_select_t,
+)
 
 __all__ = [
     "pallas_fill_idw",
@@ -37,4 +41,6 @@ __all__ = [
     "pallas_available",
     "pallas_packed_kriging",
     "pallas_packed_idw",
+    "pallas_kriging_valid",
+    "valid_select_t",
 ]

@@ -244,6 +244,45 @@ def test_pallas_fused_kriging_model_zoo_matches_xla(grid, model):
     np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
 
 
+def test_valid_select_t_matches_valid16(scattered_queries):
+    """Transposed fused select (queries-in-lanes) == the XLA valid16 path,
+    ties included, on a fully-valid grid."""
+    from auvtpu.ops.packs import (
+        VALID16_OFFSETS, _normalize, build_valid16_pack, fetch_pack,
+        packed_kriging_valid, select_from_stencil,
+    )
+    from auvtpu.pallas import pallas_kriging_valid, valid_select_t
+    import jax.numpy as jnp
+
+    gv = RegularGrid.dense(
+        shelf_seamount(H, W), Extent(0.0, float(W - 1), 0.0, float(H - 1))
+    )
+    lons, lats = scattered_queries
+    p16 = build_valid16_pack(gv)
+    x, y, oob = _normalize(gv, lons, lats)
+    ci = jnp.clip(jnp.floor(x + 0.5).astype(jnp.int32), 0, W - 1)
+    cj = jnp.clip(jnp.floor(y + 0.5).astype(jnp.int32), 0, H - 1)
+    st = fetch_pack(p16, 16, cj * W + ci)
+    want = select_from_stencil(st, VALID16_OFFSETS, x, y, oob, ci, cj, k=4)
+    with _interp():
+        got = valid_select_t(p16, gv, lons, lats, tile_n=256)
+    np.testing.assert_array_equal(
+        np.asarray(got["found"]), np.asarray(want["found"])
+    )
+    ok = np.asarray(want["slot_ok"])
+    np.testing.assert_array_equal(np.asarray(got["slot_ok"]), ok)
+    for key in ("val", "dx", "dy", "d2"):
+        np.testing.assert_allclose(
+            np.asarray(got[key])[ok], np.asarray(want[key])[ok], rtol=1e-6
+        )
+    want_k = np.asarray(packed_kriging_valid(p16, gv, lons, lats))
+    with _interp():
+        got_k = np.asarray(pallas_kriging_valid(p16, gv, lons, lats, tile_n=256))
+    assert (np.isnan(got_k) == np.isnan(want_k)).all()
+    both = ~np.isnan(want_k)
+    np.testing.assert_allclose(got_k[both], want_k[both], rtol=1e-5, atol=1e-4)
+
+
 def test_pallas_window_select_radius3(grid, scattered_queries):
     # P=64 / 2 sub-blocks per row: the kernel's sub-block masking must hold
     # for non-default radii too
