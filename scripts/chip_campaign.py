@@ -35,8 +35,9 @@ def main():
                    help="delete the target CSVs first (full rebuild)")
     p.add_argument("--results-b", default="results/TestingResults_gridB.csv")
     p.add_argument("--results-a", default="results/TestingResults_gridA.csv")
-    p.add_argument("--backend-a", default="fused", choices=["xla", "fused"],
-                   help="Grid A kriging/IDW backend (set by the perf_sweep winner)")
+    p.add_argument("--backend-a", default="auto", choices=["auto", "xla", "fused"],
+                   help="Grid A kriging/IDW backend; 'auto' = transposed "
+                   "Pallas valid-grid select on TPU (the r3 winner)")
     p.add_argument("--skip-exact", action="store_true",
                    help="skip the (slow) bit-exact parity rows")
     args = p.parse_args()
