@@ -173,15 +173,18 @@ def main(argv=None):
                 and jax.default_backend() == "tpu"
             )
             if use_pallas:
-                from ..pallas import pallas_kriging_valid
+                from ..pallas import pallas_kriging_valid, pallas_packed_idw_t
 
                 log("valid-grid fast path: transposed Pallas select (backend=auto)")
                 krig = lambda g, lo, la: pallas_kriging_valid(p16, g, lo, la)
+                idw = lambda g, lo, la: pallas_packed_idw_t(
+                    sp.window, g, lo, la, window_radius=sp.window_radius
+                )
             else:
                 krig = lambda g, lo, la: packed_kriging_valid(p16, g, lo, la)
-            idw = lambda g, lo, la: packed_idw(
-                sp.window, g, lo, la, window_radius=sp.window_radius
-            )
+                idw = lambda g, lo, la: packed_idw(
+                    sp.window, g, lo, la, window_radius=sp.window_radius
+                )
         elif args.backend == "fused":
             from ..pallas import pallas_packed_idw, pallas_packed_kriging
 

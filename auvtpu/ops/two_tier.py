@@ -42,16 +42,27 @@ def _resolved_mask_jit(pack, grid, lons, lats, *, k, conv, thresh):
 class TwoTierInterpolator:
     """Reusable scattered-query engine over a (possibly masked) grid."""
 
-    def __init__(self, grid: RegularGrid, *, convention: str = "reference", escalate_cap: int = 1 << 14, backend: str = "xla"):
-        """backend='fused' routes the fast path through the one-VMEM-pass
-        Pallas select+solve kernels (pallas/scattered_select.py); 'xla' is
-        the packed top_k + one-hot einsum path.  Escalation and the resolved
-        mask are backend-independent (identical v2 semantics)."""
+    def __init__(self, grid: RegularGrid, *, convention: str = "reference", escalate_cap: int = 1 << 14, backend: str = "auto"):
+        """backend='transposed' routes the fast path through the
+        queries-on-lanes Pallas select kernels (pallas/valid_select.py, the
+        r3 chip winner: kriging 90 -> 113, IDW 98 -> 115 M pts/s at 5M on
+        masked grids); 'fused' is the queries-on-sublanes VMEM kernel
+        (pallas/scattered_select.py, loses on TPU — kept for comparison);
+        'xla' is the packed top_k + one-hot einsum path; 'auto' (default)
+        picks 'transposed' on TPU f32 and 'xla' elsewhere.  Escalation and
+        the resolved mask are backend-independent (identical v2
+        semantics)."""
         self.grid = grid
         self.convention = convention
         self.pack = StencilPack(grid, window_radius=2)
         self.escalate_cap = escalate_cap
-        if backend not in ("xla", "fused"):
+        if backend == "auto":
+            backend = (
+                "transposed"
+                if jax.default_backend() == "tpu" and grid.dtype == jnp.float32
+                else "xla"
+            )
+        if backend not in ("xla", "fused", "transposed"):
             raise ValueError(backend)
         self.backend = backend
 
@@ -110,7 +121,14 @@ class TwoTierInterpolator:
         return out
 
     def kriging(self, lons, lats):
-        if self.backend == "fused":
+        if self.backend == "transposed":
+            from ..pallas import pallas_packed_kriging_t
+
+            fast = lambda lo, la: pallas_packed_kriging_t(
+                self.pack.window, self.grid, lo, la,
+                window_radius=2, convention=self.convention,
+            )
+        elif self.backend == "fused":
             from ..pallas import pallas_packed_kriging
 
             fast = lambda lo, la: pallas_packed_kriging(
@@ -131,7 +149,14 @@ class TwoTierInterpolator:
         )
 
     def idw(self, lons, lats, k: int = 8):
-        if self.backend == "fused":
+        if self.backend == "transposed":
+            from ..pallas import pallas_packed_idw_t
+
+            fast = lambda lo, la: pallas_packed_idw_t(
+                self.pack.window, self.grid, lo, la, k=k,
+                window_radius=2, convention=self.convention,
+            )
+        elif self.backend == "fused":
             from ..pallas import pallas_packed_idw
 
             fast = lambda lo, la: pallas_packed_idw(

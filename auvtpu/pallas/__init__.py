@@ -28,6 +28,8 @@ from .scattered_select import (
     pallas_window_select,
 )
 from .valid_select import (
+    pallas_packed_idw_t,
+    pallas_packed_kriging_t,
     pallas_kriging_valid,
     valid_select_t,
 )
@@ -41,6 +43,8 @@ __all__ = [
     "pallas_available",
     "pallas_packed_kriging",
     "pallas_packed_idw",
+    "pallas_packed_idw_t",
+    "pallas_packed_kriging_t",
     "pallas_kriging_valid",
     "valid_select_t",
 ]

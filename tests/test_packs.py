@@ -188,6 +188,26 @@ def test_two_tier_fused_backend_matches_xla():
         np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-3)
 
 
+def test_two_tier_transposed_backend_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from auvtpu.ops import TwoTierInterpolator
+
+    grid = _mk(masked=True)
+    lons, lats = _queries(400, seed=21)
+    a = TwoTierInterpolator(grid, backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        b = TwoTierInterpolator(grid, backend="transposed")
+        got_k = np.asarray(b.kriging(lons, lats))
+        got_i = np.asarray(b.idw(lons, lats))
+    want_k = np.asarray(a.kriging(lons, lats))
+    want_i = np.asarray(a.idw(lons, lats))
+    for got, want in [(got_k, want_k), (got_i, want_i)]:
+        assert (np.isnan(got) == np.isnan(want)).all()
+        m = ~np.isnan(want)
+        np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-3)
+
+
 def test_tie_line_queries_fast_equals_slow():
     """Constructed tie-line queries (the 3fx+2fy=1 family): the packed fast
     path, its radius-10 escalation, the fused Pallas select, and the GoldenV2

@@ -283,6 +283,55 @@ def test_valid_select_t_matches_valid16(scattered_queries):
     np.testing.assert_allclose(got_k[both], want_k[both], rtol=1e-5, atol=1e-4)
 
 
+def _tie_queries(scattered_queries):
+    lons, lats = scattered_queries
+    # adversarial positions: exact cell centers (max-tie case) and the
+    # half-integer tie lines between cells, plus corners/edges
+    extra_lo = np.array([3.0, 4.5, 10.0, 77.5, 0.0, 0.5, float(W - 1)], np.float32)
+    extra_la = np.array([5.0, 6.5, 90.5, 2.0, 0.0, 1.5, float(H - 1)], np.float32)
+    return np.concatenate([lons, extra_lo]), np.concatenate([lats, extra_la])
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_pallas_packed_idw_t_matches_packed(scattered_queries, grid, masked):
+    """In-kernel transposed IDW (full window pack, k=8) == the windowed XLA
+    packed_idw, on masked AND fully-valid grids, ties/edges included."""
+    from auvtpu.ops.packs import StencilPack, packed_idw
+    from auvtpu.pallas import pallas_packed_idw_t
+
+    g = grid if masked else RegularGrid.dense(
+        shelf_seamount(H, W), Extent(0.0, float(W - 1), 0.0, float(H - 1))
+    )
+    lons, lats = _tie_queries(scattered_queries)
+    sp = StencilPack(g, window_radius=2)
+    want = np.asarray(packed_idw(sp.window, g, lons, lats, k=8))
+    with _interp():
+        got = np.asarray(pallas_packed_idw_t(sp.window, g, lons, lats, k=8, tile_n=256))
+    assert (np.isnan(got) == np.isnan(want)).all()
+    both = ~np.isnan(want)
+    np.testing.assert_allclose(got[both], want[both], rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_pallas_packed_kriging_t_matches_packed(scattered_queries, grid, masked):
+    """Transposed-select kriging (full window pack) == packed_kriging on
+    masked AND fully-valid grids, ties/edges included."""
+    from auvtpu.ops.packs import StencilPack, packed_kriging
+    from auvtpu.pallas import pallas_packed_kriging_t
+
+    g = grid if masked else RegularGrid.dense(
+        shelf_seamount(H, W), Extent(0.0, float(W - 1), 0.0, float(H - 1))
+    )
+    lons, lats = _tie_queries(scattered_queries)
+    sp = StencilPack(g, window_radius=2)
+    want = np.asarray(packed_kriging(sp.window, g, lons, lats))
+    with _interp():
+        got = np.asarray(pallas_packed_kriging_t(sp.window, g, lons, lats, tile_n=256))
+    assert (np.isnan(got) == np.isnan(want)).all()
+    both = ~np.isnan(want)
+    np.testing.assert_allclose(got[both], want[both], rtol=1e-5, atol=1e-4)
+
+
 def test_pallas_window_select_radius3(grid, scattered_queries):
     # P=64 / 2 sub-blocks per row: the kernel's sub-block masking must hold
     # for non-default radii too
