@@ -91,11 +91,18 @@ class TwoTierInterpolator:
             k=k, conv=self.convention, thresh=self._outside_min_d2(),
         )
 
-    def _run(self, fast_fn, slow_fn, lons, lats, k):
+    def _run(self, fast_fn, slow_fn, lons, lats, k, combined=False):
+        """combined=True: fast_fn returns (fast, resolved_mask, bad_count)
+        from ONE fused kernel call (the transposed backend folds the
+        resolution test into the select's last min-extract slot — saving
+        the second full fetch+select pass _resolved_mask costs)."""
         lons = jnp.asarray(lons, self.grid.dtype)
         lats = jnp.asarray(lats, self.grid.dtype)
-        fast = fast_fn(lons, lats)
-        mask, bad_count = self._resolved_mask(lons, lats, k)
+        if combined:
+            fast, mask, bad_count = fast_fn(lons, lats)
+        else:
+            fast = fast_fn(lons, lats)
+            mask, bad_count = self._resolved_mask(lons, lats, k)
         n_bad = int(bad_count)  # the ONLY host sync (a scalar)
         if n_bad == 0:
             return fast
@@ -127,8 +134,16 @@ class TwoTierInterpolator:
             fast = lambda lo, la: pallas_packed_kriging_t(
                 self.pack.window, self.grid, lo, la,
                 window_radius=2, convention=self.convention,
+                resolve_thresh=self._outside_min_d2(),
             )
-        elif self.backend == "fused":
+            return self._run(
+                fast,
+                lambda lo, la: scattered_kriging(
+                    self.grid, lo, la, max_radius=10, convention=self.convention
+                ),
+                lons, lats, k=4, combined=True,
+            )
+        if self.backend == "fused":
             from ..pallas import pallas_packed_kriging
 
             fast = lambda lo, la: pallas_packed_kriging(
@@ -155,8 +170,16 @@ class TwoTierInterpolator:
             fast = lambda lo, la: pallas_packed_idw_t(
                 self.pack.window, self.grid, lo, la, k=k,
                 window_radius=2, convention=self.convention,
+                resolve_thresh=self._outside_min_d2(),
             )
-        elif self.backend == "fused":
+            return self._run(
+                fast,
+                lambda lo, la: scattered_idw(
+                    self.grid, lo, la, k=k, max_radius=10, convention=self.convention
+                ),
+                lons, lats, k=k, combined=True,
+            )
+        if self.backend == "fused":
             from ..pallas import pallas_packed_idw
 
             fast = lambda lo, la: pallas_packed_idw(

@@ -76,7 +76,7 @@ def _sel_tables(offs, P: int, R: int, tn: int):
     return dy, dx, code
 
 
-def _sel_kernel(stT_ref, fxy_ref, dy_ref, dx_ref, code_ref, out_ref, *, k, emit_d2, half=0.5):
+def _sel_kernel(stT_ref, fxy_ref, dy_ref, dx_ref, code_ref, out_ref, *, k, emit_d2, half=0.5, resolve_thresh=None):
     cand = stT_ref[:]  # (P, tn): candidates on sublanes, queries on lanes
     fx = fxy_ref[0:1, :]
     fy = fxy_ref[1:2, :]
@@ -88,6 +88,7 @@ def _sel_kernel(stT_ref, fxy_ref, dy_ref, dx_ref, code_ref, out_ref, *, k, emit_
     code = code_ref[:]
     cnt = jnp.zeros((1, cand.shape[1]), jnp.float32)
     vals, d2s, codes = [], [], []
+    resolved = []
     for _s in range(k):
         m = jnp.min(d2, axis=0, keepdims=True)
         got = m < 0.5 * _INF
@@ -102,10 +103,14 @@ def _sel_kernel(stT_ref, fxy_ref, dy_ref, dx_ref, code_ref, out_ref, *, k, emit_
         codes.append(jnp.sum(code * hf, axis=0, keepdims=True))
         cnt = cnt + got.astype(jnp.float32)
         d2 = jnp.where(hit, _INF, d2)
-    out_ref[:, :] = jnp.concatenate([cnt] + vals + d2s + codes, axis=0)
+        if resolve_thresh is not None and _s == k - 1:
+            # two-tier resolution: all k found AND the k-th nearest beats
+            # the closest conceivable outside-window cell (two_tier.py)
+            resolved = [(got & (m < resolve_thresh)).astype(jnp.float32)]
+    out_ref[:, :] = jnp.concatenate([cnt] + vals + d2s + codes + resolved, axis=0)
 
 
-def _idw_kernel(stT_ref, fxy_ref, dy_ref, dx_ref, out_ref, *, k, inv_eps, half=0.5):
+def _idw_kernel(stT_ref, fxy_ref, dy_ref, dx_ref, out_ref, *, k, inv_eps, half=0.5, resolve_thresh=None):
     """k-nearest IDW (power=2) fully in-kernel: k-slot min-extract with
     running weight accumulation; emits (2, tn) [sum w*v, sum w]."""
     cand = stT_ref[:]
@@ -131,7 +136,11 @@ def _idw_kernel(stT_ref, fxy_ref, dy_ref, dx_ref, out_ref, *, k, inv_eps, half=0
         num = num + w * val
         den = den + w
         d2 = jnp.where(hit, _INF, d2)
-    out_ref[:, :] = jnp.concatenate([num, den], axis=0)
+        if resolve_thresh is not None and _s == k - 1:
+            resolved = [(got & (m < resolve_thresh)).astype(jnp.float32)]
+    out_ref[:, :] = jnp.concatenate(
+        [num, den] + (resolved if resolve_thresh is not None else []), axis=0
+    )
 
 
 def _prologue(pack, P: int, grid: RegularGrid, lons, lats, tile_n: int):
@@ -164,7 +173,7 @@ def _prologue(pack, P: int, grid: RegularGrid, lons, lats, tile_n: int):
     return stT, fxy, n, x, y, oob, ci, cj
 
 
-def _select_rows(pack, P, offs, R, grid, lons, lats, tile_n, emit_d2, k=4, half=0.5):
+def _select_rows(pack, P, offs, R, grid, lons, lats, tile_n, emit_d2, k=4, half=0.5, resolve_thresh=None):
     """Select-kernel launch: (1+2k(+k), n_padded) rows
     [cnt, k*val, (k*d2,) k*code]."""
     import jax.experimental.pallas as pl
@@ -173,10 +182,10 @@ def _select_rows(pack, P, offs, R, grid, lons, lats, tile_n, emit_d2, k=4, half=
     tn = tile_n
     n_tot = stT.shape[1]
     dy_t, dx_t, code_t = _sel_tables(offs, P, R, tn)
-    rows = 1 + (3 if emit_d2 else 2) * k
+    rows = 1 + (3 if emit_d2 else 2) * k + (resolve_thresh is not None)
 
     out = pl.pallas_call(
-        partial(_sel_kernel, k=k, emit_d2=emit_d2, half=half),
+        partial(_sel_kernel, k=k, emit_d2=emit_d2, half=half, resolve_thresh=resolve_thresh),
         out_shape=jax.ShapeDtypeStruct((rows, n_tot), jnp.float32),
         grid=(n_tot // tn,),
         in_specs=[
@@ -223,7 +232,7 @@ def _kriging_rows_epilogue(grid, lons, lats, out, oob, ci, cj, R, *, vparams, mo
     return jnp.where(oob, jnp.nan, res)
 
 
-def _idw_launch(pack, P, offs, grid, lons, lats, *, k, tile_n, half=0.5):
+def _idw_launch(pack, P, offs, grid, lons, lats, *, k, tile_n, half=0.5, resolve_thresh=None):
     import jax.experimental.pallas as pl
 
     from ..config import IDWConfig
@@ -236,9 +245,10 @@ def _idw_launch(pack, P, offs, grid, lons, lats, *, k, tile_n, half=0.5):
     n_tot = stT.shape[1]
     dy_t, dx_t, _ = _sel_tables(offs, P, 2, tn)
 
+    rows = 2 + (resolve_thresh is not None)
     out = pl.pallas_call(
-        partial(_idw_kernel, k=k, inv_eps=np.float32(eps), half=half),
-        out_shape=jax.ShapeDtypeStruct((2, n_tot), jnp.float32),
+        partial(_idw_kernel, k=k, inv_eps=np.float32(eps), half=half, resolve_thresh=resolve_thresh),
+        out_shape=jax.ShapeDtypeStruct((rows, n_tot), jnp.float32),
         grid=(n_tot // tn,),
         in_specs=[
             pl.BlockSpec((P, tn), lambda i: (0, i)),
@@ -246,11 +256,20 @@ def _idw_launch(pack, P, offs, grid, lons, lats, *, k, tile_n, half=0.5):
             pl.BlockSpec((P, tn), lambda i: (0, 0)),
             pl.BlockSpec((P, tn), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((2, tn), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((rows, tn), lambda i: (0, i)),
     )(stT, fxy, jnp.asarray(dy_t), jnp.asarray(dx_t))
     num, den = out[0, :n], out[1, :n]
     res = jnp.where(den > 0, num / jnp.maximum(den, eps), jnp.nan)
-    return jnp.where(oob, jnp.nan, res.astype(grid.dtype))
+    res = jnp.where(oob, jnp.nan, res.astype(grid.dtype))
+    if resolve_thresh is None:
+        return res
+    # NOTE no oob term: _resolved_mask_jit's select also fetches the
+    # clipped center cell for out-of-bounds queries, so they resolve
+    # whenever k in-window candidates exist — and both tiers emit NaN for
+    # them anyway.  Matching exactly keeps bad_count (and therefore the
+    # escalation chunking) identical to the XLA path.
+    resolved = out[2, :n] > 0.5
+    return res, resolved, jnp.sum(~resolved)
 
 
 # ---------------------------------------------------------------------------
@@ -294,8 +313,8 @@ def pallas_kriging_valid(pack16, grid: RegularGrid, lons, lats, *, vparams=None,
     )
 
 
-@partial(jax.jit, static_argnames=("window_radius", "tile_n", "model", "convention"))
-def pallas_packed_kriging_t(pack, grid: RegularGrid, lons, lats, *, window_radius: int = 2, vparams=None, tile_n: int = 2048, model: str = "exponential", convention: str = "reference"):
+@partial(jax.jit, static_argnames=("window_radius", "tile_n", "model", "convention", "resolve_thresh"))
+def pallas_packed_kriging_t(pack, grid: RegularGrid, lons, lats, *, window_radius: int = 2, vparams=None, tile_n: int = 2048, model: str = "exponential", convention: str = "reference", resolve_thresh=None):
     """Transposed-select drop-in for ops.packs.packed_kriging: top-4 over
     the FULL radius-R window pack (P=32 for R=2), so it is correct on
     masked grids and at grid edges — no validity assumption.  The fetch is
@@ -308,16 +327,21 @@ def pallas_packed_kriging_t(pack, grid: RegularGrid, lons, lats, *, window_radiu
         P *= 2
     out, n, x, y, oob, ci, cj = _select_rows(
         pack, P, offs, window_radius, grid, lons, lats, tile_n, emit_d2=False,
-        half=half,
+        half=half, resolve_thresh=resolve_thresh,
     )
-    return _kriging_rows_epilogue(
+    res = _kriging_rows_epilogue(
         grid, lons, lats, out[:, :n], oob, ci, cj, window_radius,
         vparams=vparams, model=model, half=half,
     )
+    if resolve_thresh is None:
+        return res
+    # fused two-tier resolution row (see _idw_launch for the oob note)
+    resolved = out[9, :n] > 0.5
+    return res, resolved, jnp.sum(~resolved)
 
 
-@partial(jax.jit, static_argnames=("k", "window_radius", "tile_n", "convention"))
-def pallas_packed_idw_t(pack, grid: RegularGrid, lons, lats, *, k: int = 8, window_radius: int = 2, tile_n: int = 2048, convention: str = "reference"):
+@partial(jax.jit, static_argnames=("k", "window_radius", "tile_n", "convention", "resolve_thresh"))
+def pallas_packed_idw_t(pack, grid: RegularGrid, lons, lats, *, k: int = 8, window_radius: int = 2, tile_n: int = 2048, convention: str = "reference", resolve_thresh=None):
     """Transposed in-kernel IDW (power=2) drop-in for ops.packs.packed_idw:
     selection AND the weighted reduction run in one (P, tn) kernel over the
     full radius-R window pack; XLA sees only (2, N) [num, den] rows.
@@ -331,4 +355,7 @@ def pallas_packed_idw_t(pack, grid: RegularGrid, lons, lats, *, k: int = 8, wind
     P = 1
     while P < len(offs):
         P *= 2
-    return _idw_launch(pack, P, offs, grid, lons, lats, k=k, tile_n=tile_n, half=half)
+    return _idw_launch(
+        pack, P, offs, grid, lons, lats, k=k, tile_n=tile_n, half=half,
+        resolve_thresh=resolve_thresh,
+    )

@@ -192,14 +192,38 @@ def test_two_tier_transposed_backend_matches_xla():
     from jax.experimental.pallas import tpu as pltpu
 
     from auvtpu.ops import TwoTierInterpolator
+    from auvtpu.pallas import pallas_packed_idw_t, pallas_packed_kriging_t
 
-    grid = _mk(masked=True)
+    # carve an 11x11 hole so queries at its center MUST escalate (no valid
+    # cell within the radius-2 window)
+    elev = shelf_seamount(H, W)
+    elev, _, _ = mask_grid(elev, 0.08, seed=12)
+    elev[30:41, 30:41] = np.nan
+    grid = RegularGrid.from_nan_array(elev, EXT)
     lons, lats = _queries(400, seed=21)
+    lons = np.concatenate([lons, np.array([35.0, 35.4], np.float32)])
+    lats = np.concatenate([lats, np.array([35.0, 34.6], np.float32)])
     a = TwoTierInterpolator(grid, backend="xla")
+    # the fused in-kernel resolution row must equal _resolved_mask_jit
+    # (same found>=k && kth-d2<thresh test), so escalation picks the SAME
+    # query set
+    mask_k, bad_k = a._resolved_mask(lons, lats, 4)
+    mask_i, bad_i = a._resolved_mask(lons, lats, 8)
+    thresh = a._outside_min_d2()
     with pltpu.force_tpu_interpret_mode():
+        _, fm_k, fb_k = pallas_packed_kriging_t(
+            a.pack.window, grid, lons, lats, resolve_thresh=thresh, tile_n=256
+        )
+        _, fm_i, fb_i = pallas_packed_idw_t(
+            a.pack.window, grid, lons, lats, k=8, resolve_thresh=thresh, tile_n=256
+        )
         b = TwoTierInterpolator(grid, backend="transposed")
         got_k = np.asarray(b.kriging(lons, lats))
         got_i = np.asarray(b.idw(lons, lats))
+    np.testing.assert_array_equal(np.asarray(fm_k), np.asarray(mask_k))
+    np.testing.assert_array_equal(np.asarray(fm_i), np.asarray(mask_i))
+    assert int(fb_k) == int(bad_k) and int(fb_i) == int(bad_i)
+    assert int(bad_k) > 0  # the fixture must actually exercise escalation
     want_k = np.asarray(a.kriging(lons, lats))
     want_i = np.asarray(a.idw(lons, lats))
     for got, want in [(got_k, want_k), (got_i, want_i)]:
