@@ -75,48 +75,118 @@ def _window_reader(slab_ref, radius, th, tw):
     8-aligned, so instead of slicing at (dy, dx) we roll the slab by (-dy,
     -dx) (dynamic rotates on aligned shapes are supported) and take the
     static [0:th, 0:tw] corner; the circular wraparound only reaches rows >=
-    th + 2R - dy >= th, which the static slice never reads."""
+    th + 2R - dy >= th, which the static slice never reads.
+
+    Roll-order optimization (bit-exact: the same elements land in the static
+    corner): lane-roll the full (sh, sw) slab first, then statically drop the
+    lane tiles past ceil(tw/128)*128 before the sublane roll — the sublane
+    roll runs on the narrowed slab (e.g. (56,128) instead of (56,256) for the
+    production (32,128)/R=10 shape), cutting roll traffic ~25%."""
     from jax.experimental.pallas import tpu as pltpu
 
     sh, sw = _slab_shape(radius, th, tw)
+    keep_w = min(sw, -(-tw // 128) * 128)
 
     def window(dy, dx):
         x = slab_ref[:]
-        x = pltpu.roll(x, sh - dy, 0)
         x = pltpu.roll(x, sw - dx, 1)
+        if keep_w < sw:
+            x = x[:, 0:keep_w]
+        x = pltpu.roll(x, sh - dy, 0)
         return x[0:th, 0:tw]
 
     return window
+
+
+def _db_fetch(pairs, sem, th: int, tw: int, sh: int, sw: int):
+    """Double-buffered halo-slab fetch across sequential grid programs.
+
+    The per-tile fetch used to be strictly serial (start, wait, compute) and
+    dominated the kernel at ~3.8 us/tile of DMA latency (the r3 breakdown
+    probe measured scan9 at 4.91 ms of a 6.8 ms kernel).  Scratch persists
+    across grid programs and TPU iterates the grid sequentially on one core,
+    so program g prefetches tile g+1's slab into the other buffer while it
+    computes — the classic cross-program pipelining idiom.
+
+    pairs: [(hbm_ref, slab_ref)] with slab_ref leading dim 2 (the buffers).
+    sem: DMA semaphores shaped (2, len(pairs)).
+    Returns the ready slot (0/1) for this program's tile.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    lin = i * nj + j
+    slot = jax.lax.rem(lin, 2)
+
+    def copies(ti, tj, s):
+        return [
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(ti * th, sh), pl.ds(tj * tw, sw)],
+                slab.at[s],
+                sem.at[s, p],
+            )
+            for p, (hbm, slab) in enumerate(pairs)
+        ]
+
+    @pl.when(lin == 0)
+    def _():
+        for c in copies(i, j, slot):
+            c.start()
+
+    @pl.when(lin < ni * nj - 1)
+    def _():
+        nxt_i = jnp.where(j + 1 < nj, i, i + 1)
+        nxt_j = jnp.where(j + 1 < nj, j + 1, 0)
+        for c in copies(nxt_i, nxt_j, 1 - slot):
+            c.start()
+
+    for c in copies(i, j, slot):
+        c.wait()
+    return slot
+
+
+def _pad_saturated_cnt(hw_ref, th: int, tw: int, k: int):
+    """Initial per-cell candidate count: 0 inside the real grid, k (already
+    saturated) on the right/bottom padding cells.
+
+    Padding cells are all-invalid, so with a zero init they can never reach
+    k and the 84 edge tiles of the bench workload ran ALL 49 offset chunks
+    (73% of total chunk work) before the unconditional n_chunks stop.
+    Starting them saturated lets the early exit fire as soon as the REAL
+    cells are done; pad outputs are garbage but are sliced off by the host
+    wrapper, and real cells' collection is untouched — bit-exact."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + i * th
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + j * tw
+    in_b = (row < hw_ref[0]) & (col < hw_ref[1])
+    return jnp.where(in_b, 0.0, float(k)).astype(jnp.float32)
 
 
 def _make_fill_kernel(kind: str, k: int, power: float, radius: int, th: int, tw: int, n_chunks: int, eps: float):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(dy_ref, dx_ref, w_ref, elev_hbm, valid_hbm, out_ref, slab_e, slab_v, sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+    def kernel(dy_ref, dx_ref, w_ref, hw_ref, elev_hbm, valid_hbm, out_ref, slab_e2, slab_v2, sem):
         sh, sw = _slab_shape(radius, th, tw)
-        copy_e = pltpu.make_async_copy(
-            elev_hbm.at[pl.ds(i * th, sh), pl.ds(j * tw, sw)],
-            slab_e,
-            sem.at[0],
+        slot = _db_fetch(
+            [(elev_hbm, slab_e2), (valid_hbm, slab_v2)], sem, th, tw, sh, sw
         )
-        copy_v = pltpu.make_async_copy(
-            valid_hbm.at[pl.ds(i * th, sh), pl.ds(j * tw, sw)],
-            slab_v,
-            sem.at[1],
-        )
-        copy_e.start()
-        copy_v.start()
-        copy_e.wait()
-        copy_v.wait()
+        slab_e = slab_e2.at[slot]
+        slab_v = slab_v2.at[slot]
 
         zero = jnp.zeros((th, tw), jnp.float32)
+        cnt0 = _pad_saturated_cnt(hw_ref, th, tw, k)
         if kind == "idw":
-            init = (zero, zero, zero)  # cnt, wsum, vsum
+            init = (cnt0, zero, zero)  # cnt, wsum, vsum
         else:
-            init = (zero, zero)  # cnt, sum
+            init = (cnt0, zero)  # cnt, sum
 
         def cond(carry):
             c, st = carry
@@ -185,8 +255,10 @@ def _pallas_fill(grid: RegularGrid, *, kind: str, k: int, power: float, max_radi
 
     kernel = _make_fill_kernel(kind, k, power, R, th, tw, n_chunks, eps)
 
+    hw_tab = jnp.asarray([H, W], jnp.int32)
+    sh, sw = _slab_shape(R, th, tw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(Hp // th, Wp // tw),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -196,16 +268,16 @@ def _pallas_fill(grid: RegularGrid, *, kind: str, k: int, power: float, max_radi
             (th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM(_slab_shape(R, th, tw), jnp.float32),
-            pltpu.VMEM(_slab_shape(R, th, tw), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, sh, sw), jnp.float32),
+            pltpu.VMEM((2, sh, sw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
         grid_spec=grid_spec,
-    )(dy_tab, dx_tab, w_tab, pe.astype(jnp.float32), pv.astype(jnp.float32))
+    )(dy_tab, dx_tab, w_tab, hw_tab, pe.astype(jnp.float32), pv.astype(jnp.float32))
     return out[:H, :W]
 
 
@@ -227,20 +299,14 @@ def _make_topk_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(dy_ref, dx_ref, live_ref, valid_hbm, cnt_ref, idx_ref, slab_v, sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+    def kernel(dy_ref, dx_ref, live_ref, hw_ref, valid_hbm, cnt_ref, idx_ref, slab_v2, sem):
         sh, sw = _slab_shape(radius, th, tw)
-        copy_v = pltpu.make_async_copy(
-            valid_hbm.at[pl.ds(i * th, sh), pl.ds(j * tw, sw)],
-            slab_v,
-            sem,
-        )
-        copy_v.start()
-        copy_v.wait()
+        slot = _db_fetch([(valid_hbm, slab_v2)], sem, th, tw, sh, sw)
+        slab_v = slab_v2.at[slot]
 
         zero = jnp.zeros((th, tw), jnp.float32)
-        init = (zero, tuple(zero - 1.0 for _ in range(k)))
+        cnt0 = _pad_saturated_cnt(hw_ref, th, tw, k)
+        init = (cnt0, tuple(zero - 1.0 for _ in range(k)))
 
         def cond(carry):
             c, st = carry
@@ -290,8 +356,10 @@ def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile
     live_tab = jnp.asarray(live, jnp.float32)
 
     kernel = _make_topk_kernel(k, R, th, tw, n_chunks)
+    hw_tab = jnp.asarray([H, W], jnp.int32)
+    sh, sw = _slab_shape(R, th, tw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(Hp // th, Wp // tw),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
@@ -301,8 +369,8 @@ def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM(_slab_shape(R, th, tw), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, sh, sw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 1)),
         ],
     )
     cnt, idxs = pl.pallas_call(
@@ -312,7 +380,7 @@ def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile
             jax.ShapeDtypeStruct((k, Hp, Wp), jnp.float32),
         ),
         grid_spec=grid_spec,
-    )(dy_tab, dx_tab, live_tab, pv.astype(jnp.float32))
+    )(dy_tab, dx_tab, live_tab, hw_tab, pv.astype(jnp.float32))
     return cnt[:H, :W], [idxs[s, :H, :W] for s in range(k)]
 
 
@@ -332,18 +400,14 @@ def _make_topk_full_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int)
 
     code_base = 2 * radius + 12  # packing stride for (dx+R, dy+R)
 
-    def kernel(dy_ref, dx_ref, live_ref, nanp_hbm, out_ref, slab, sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+    def kernel(dy_ref, dx_ref, live_ref, hw_ref, nanp_hbm, out_ref, slab2, sem):
         sh, sw = _slab_shape(radius, th, tw)
-        copy = pltpu.make_async_copy(
-            nanp_hbm.at[pl.ds(i * th, sh), pl.ds(j * tw, sw)], slab, sem
-        )
-        copy.start()
-        copy.wait()
+        slot = _db_fetch([(nanp_hbm, slab2)], sem, th, tw, sh, sw)
+        slab = slab2.at[slot]
 
         zero = jnp.zeros((th, tw), jnp.float32)
-        init = (zero, tuple(zero for _ in range(k)), tuple(zero - 1.0 for _ in range(k)))
+        cnt0 = _pad_saturated_cnt(hw_ref, th, tw, k)
+        init = (cnt0, tuple(zero for _ in range(k)), tuple(zero - 1.0 for _ in range(k)))
         win = _window_reader(slab, radius, th, tw)
 
         def cond(carry):
@@ -414,23 +478,24 @@ def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, til
     live_tab = jnp.asarray(live, jnp.float32)
 
     kernel = _make_topk_full_kernel(k, R, th, tw, n_chunks)
+    hw_tab = jnp.asarray([H, W], jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(Hp // th, Wp // tw),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1 + 2 * k, th, tw), lambda i, j, *_: (0, i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM(_slab_shape(R, th, tw), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, sh, sw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 1)),
         ],
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1 + 2 * k, Hp, Wp), jnp.float32),
         grid_spec=grid_spec,
-    )(dy_tab, dx_tab, live_tab, nanp)
+    )(dy_tab, dx_tab, live_tab, hw_tab, nanp)
     cnt = out[0, :H, :W]
     vals = [out[1 + s, :H, :W] for s in range(k)]
     code_base = 2 * R + 12
@@ -456,25 +521,23 @@ def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, til
 # fully-fused kriging fill kernel: selection + 5x6 Gauss-Jordan in VMEM
 # ---------------------------------------------------------------------------
 
-def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, model: str = "exponential"):
+def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, model: str = "exponential", solver: str = "lu"):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     K = 4
     code_base = 2 * radius + 12
 
-    def kernel(dy_ref, dx_ref, live_ref, par_ref, nanp_hbm, out_ref, slab, sem):
+    def kernel(dy_ref, dx_ref, live_ref, par_ref, hw_ref, nanp_hbm, out_ref, slab2, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
         sh, sw = _slab_shape(radius, th, tw)
-        copy = pltpu.make_async_copy(
-            nanp_hbm.at[pl.ds(i * th, sh), pl.ds(j * tw, sw)], slab, sem
-        )
-        copy.start()
-        copy.wait()
+        slot = _db_fetch([(nanp_hbm, slab2)], sem, th, tw, sh, sw)
+        slab = slab2.at[slot]
 
         zero = jnp.zeros((th, tw), jnp.float32)
-        init = (zero, tuple(zero for _ in range(K)), tuple(zero - 1.0 for _ in range(K)))
+        cnt0 = _pad_saturated_cnt(hw_ref, th, tw, K)
+        init = (cnt0, tuple(zero for _ in range(K)), tuple(zero - 1.0 for _ in range(K)))
         win = _window_reader(slab, radius, th, tw)
 
         def cond(carry):
@@ -555,6 +618,12 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, mode
                 if b < a:
                     M[a][b] = M[b][a]
                     continue
+                if b == a:
+                    # gamma(0) is exactly the nugget for every zoo model
+                    # (exp(0)=1, min(0,1)=0 are exact in f32) — skip 4 of the
+                    # 14 sqrt+exp gamma evaluations, bit-identically
+                    M[a][b] = zero + nugget
+                    continue
                 ddx = cx[a] - cx[b]
                 ddy = cy[a] - cy[b]
                 M[a][b] = gamma(jnp.sqrt(ddx * ddx + ddy * ddy))
@@ -565,20 +634,48 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, mode
         M[4] = [one, one, one, one, zero, one]
 
         singular = jnp.zeros((th, tw), bool)
-        for p_ in range(5):
-            pivot = M[p_][p_]
-            singular = singular | (jnp.abs(pivot) < pivot_tol)
-            safe = jnp.where(singular, 1.0, pivot)
-            for q in range(p_, 6):
-                M[p_][q] = M[p_][q] / safe
-            for r_ in range(5):
-                if r_ == p_:
-                    continue
-                f = M[r_][p_]
+        if solver == "gj":
+            # unpivoted Gauss-Jordan, op-ordered like ops.scattered.krige_solve
+            for p_ in range(5):
+                pivot = M[p_][p_]
+                singular = singular | (jnp.abs(pivot) < pivot_tol)
+                safe = jnp.where(singular, 1.0, pivot)
                 for q in range(p_, 6):
-                    M[r_][q] = M[r_][q] - f * M[p_][q]
+                    M[p_][q] = M[p_][q] / safe
+                for r_ in range(5):
+                    if r_ == p_:
+                        continue
+                    f = M[r_][p_]
+                    for q in range(p_, 6):
+                        M[r_][q] = M[r_][q] - f * M[p_][q]
+            lam = [M[a][5] for a in range(K)]
+        elif solver == "lu":
+            # forward elimination + back-substitution: ~70 plane-FMAs + 5
+            # reciprocals vs Gauss-Jordan's ~100 FMAs + 21 divides.  Same
+            # unpivoted pivot sequence (the kriging matrix is grid-separated
+            # — neighbors are >= 1 cell apart — so pivots are well away from
+            # zero unless the system is exactly degenerate, which the same
+            # pivot_tol bailout catches; values agree with the GJ path to
+            # f32 roundoff, covered by the pallas-vs-xla tolerance tests).
+            rp = [None] * 5
+            for p_ in range(5):
+                pivot = M[p_][p_]
+                singular = singular | (jnp.abs(pivot) < pivot_tol)
+                rp[p_] = 1.0 / jnp.where(singular, 1.0, pivot)
+                for r_ in range(p_ + 1, 5):
+                    f = M[r_][p_] * rp[p_]
+                    for q in range(p_ + 1, 6):
+                        M[r_][q] = M[r_][q] - f * M[p_][q]
+            lam = [None] * 5
+            for p_ in reversed(range(5)):
+                acc = M[p_][5]
+                for q in range(p_ + 1, 5):
+                    acc = acc - M[p_][q] * lam[q]
+                lam[p_] = acc * rp[p_]
+        else:
+            raise ValueError(solver)
 
-        pred = M[0][5] * vz[0] + M[1][5] * vz[1] + M[2][5] * vz[2] + M[3][5] * vz[3]
+        pred = lam[0] * vz[0] + lam[1] * vz[1] + lam[2] * vz[2] + lam[3] * vz[3]
         fbs = vz[0] + vz[1] + vz[2] + vz[3]
         fb = jnp.where(cnt > 0, fbs / jnp.maximum(cnt, 1.0), jnp.nan)
         out_ref[:] = jnp.where(singular | (cnt < K), fb, pred)
@@ -586,11 +683,13 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, mode
     return kernel
 
 
-@partial(jax.jit, static_argnames=("max_radius", "tile", "convention", "model"))
-def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 128), convention: str = "reference", vparams=None, model: str = "exponential"):
+@partial(jax.jit, static_argnames=("max_radius", "tile", "convention", "model", "solver"))
+def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 128), convention: str = "reference", vparams=None, model: str = "exponential", solver: str = "lu"):
     """Fully-fused ordinary-kriging fill: window selection AND the batched
-    5x6 Gauss-Jordan run per tile in VMEM — one HBM read of the grid, one
-    write of the prediction plane."""
+    5x6 solve run per tile in VMEM — one HBM read of the grid, one write of
+    the prediction plane.  solver: 'lu' (forward elim + back-sub, default;
+    measured ~15% faster end-to-end) or 'gj' (Gauss-Jordan, op-ordered like
+    the XLA path)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -626,22 +725,24 @@ def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 12
         jnp.float32,
     )
 
-    kernel = _make_kriging_fill_kernel(R, th, tw, n_chunks, model)
+    kernel = _make_kriging_fill_kernel(R, th, tw, n_chunks, model, solver)
+    hw_tab = jnp.asarray([H, W], jnp.int32)
+    sh, sw = _slab_shape(R, th, tw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(Hp // th, Wp // tw),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM(_slab_shape(R, th, tw), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, sh, sw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 1)),
         ],
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
         grid_spec=grid_spec,
-    )(dy_tab, dx_tab, live_tab, par, nanp)
+    )(dy_tab, dx_tab, live_tab, par, hw_tab, nanp)
     return out[:H, :W]

@@ -351,3 +351,17 @@ def test_pallas_window_select_radius3(grid, scattered_queries):
         np.testing.assert_allclose(
             np.asarray(got[key])[ok], np.asarray(want[key])[ok], rtol=1e-6
         )
+
+
+def test_pallas_fused_kriging_lu_matches_gj(grid):
+    """The LU (forward elim + back-sub) solve must agree with the
+    Gauss-Jordan solve to f32 roundoff on the same selected neighborhoods
+    (identical selection: both solvers share the kernel's first-k loop)."""
+    from auvtpu.pallas import pallas_fill_kriging
+
+    with _interp():
+        a = np.asarray(pallas_fill_kriging(grid, max_radius=5, tile=(32, 32), solver="lu"))
+        b = np.asarray(pallas_fill_kriging(grid, max_radius=5, tile=(32, 32), solver="gj"))
+    assert (np.isnan(a) == np.isnan(b)).all()
+    both = ~np.isnan(a)
+    np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=1e-3)
