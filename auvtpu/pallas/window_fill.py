@@ -98,19 +98,25 @@ def _window_reader(slab_ref, radius, th, tw):
     return window
 
 
-def _db_fetch(pairs, sem, th: int, tw: int, sh: int, sw: int):
-    """Double-buffered halo-slab fetch across sequential grid programs.
+def _db_fetch(pairs, sem, th: int, tw: int, sh: int, sw: int, nbuf: int = 2):
+    """Multi-buffered halo-slab prefetch across sequential grid programs.
 
     The per-tile fetch used to be strictly serial (start, wait, compute) and
     dominated the kernel at ~3.8 us/tile of DMA latency (the r3 breakdown
     probe measured scan9 at 4.91 ms of a 6.8 ms kernel).  Scratch persists
     across grid programs and TPU iterates the grid sequentially on one core,
-    so program g prefetches tile g+1's slab into the other buffer while it
-    computes — the classic cross-program pipelining idiom.
+    so program g prefetches tile g+nbuf-1's slab into a rotating buffer while
+    it computes — the classic cross-program pipelining idiom.  nbuf=2 hides
+    one tile of DMA latency under one tile of compute; deeper rings hide
+    latency longer than a single tile's compute.
 
-    pairs: [(hbm_ref, slab_ref)] with slab_ref leading dim 2 (the buffers).
-    sem: DMA semaphores shaped (2, len(pairs)).
-    Returns the ready slot (0/1) for this program's tile.
+    pairs: [(hbm_ref, slab_ref)] with slab_ref leading dim nbuf.
+    sem: DMA semaphores shaped (nbuf, len(pairs)).
+    Returns the ready slot for this program's tile.
+
+    Buffer safety: at program g the tiles in flight are g..g+nbuf-1, exactly
+    nbuf distinct slots; the slot written for tile g+nbuf-1 is (g-1) mod
+    nbuf, whose compute finished when program g-1 retired.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -119,8 +125,10 @@ def _db_fetch(pairs, sem, th: int, tw: int, sh: int, sw: int):
     j = pl.program_id(1)
     ni = pl.num_programs(0)
     nj = pl.num_programs(1)
+    last = ni * nj - 1  # static: the pallas grid is shape-derived
     lin = i * nj + j
-    slot = jax.lax.rem(lin, 2)
+    slot = jax.lax.rem(lin, nbuf)
+    D = nbuf - 1
 
     def copies(ti, tj, s):
         return [
@@ -134,14 +142,21 @@ def _db_fetch(pairs, sem, th: int, tw: int, sh: int, sw: int):
 
     @pl.when(lin == 0)
     def _():
-        for c in copies(i, j, slot):
-            c.start()
+        # warm up tiles 0..D-1 (tile D is issued by the steady branch below)
+        for t in range(min(D, last + 1)):
+            for c in copies(t // nj, t % nj, t % nbuf):
+                c.start()
 
-    @pl.when(lin < ni * nj - 1)
+    @pl.when(lin + D <= last)
     def _():
-        nxt_i = jnp.where(j + 1 < nj, i, i + 1)
-        nxt_j = jnp.where(j + 1 < nj, j + 1, 0)
-        for c in copies(nxt_i, nxt_j, 1 - slot):
+        # (i, j) + D in row-major order, without scalar integer division:
+        # tj wraps at most ceil(D / nj) times
+        ti, tj = i, j + D
+        for _ in range(max(1, -(-D // nj))):
+            w = tj >= nj
+            ti = jnp.where(w, ti + 1, ti)
+            tj = jnp.where(w, tj - nj, tj)
+        for c in copies(ti, tj, jax.lax.rem(lin + D, nbuf)):
             c.start()
 
     for c in copies(i, j, slot):
@@ -521,7 +536,7 @@ def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, til
 # fully-fused kriging fill kernel: selection + 5x6 Gauss-Jordan in VMEM
 # ---------------------------------------------------------------------------
 
-def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, model: str = "exponential", solver: str = "lu"):
+def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, model: str = "exponential", solver: str = "lu", nbuf: int = 2):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -532,7 +547,7 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, mode
         i = pl.program_id(0)
         j = pl.program_id(1)
         sh, sw = _slab_shape(radius, th, tw)
-        slot = _db_fetch([(nanp_hbm, slab2)], sem, th, tw, sh, sw)
+        slot = _db_fetch([(nanp_hbm, slab2)], sem, th, tw, sh, sw, nbuf)
         slab = slab2.at[slot]
 
         zero = jnp.zeros((th, tw), jnp.float32)
@@ -683,8 +698,8 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, mode
     return kernel
 
 
-@partial(jax.jit, static_argnames=("max_radius", "tile", "convention", "model", "solver"))
-def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 128), convention: str = "reference", vparams=None, model: str = "exponential", solver: str = "lu"):
+@partial(jax.jit, static_argnames=("max_radius", "tile", "convention", "model", "solver", "prefetch"))
+def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 128), convention: str = "reference", vparams=None, model: str = "exponential", solver: str = "lu", prefetch: int = 2):
     """Fully-fused ordinary-kriging fill: window selection AND the batched
     5x6 solve run per tile in VMEM — one HBM read of the grid, one write of
     the prediction plane.  solver: 'lu' (forward elim + back-sub, default;
@@ -725,7 +740,7 @@ def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 12
         jnp.float32,
     )
 
-    kernel = _make_kriging_fill_kernel(R, th, tw, n_chunks, model, solver)
+    kernel = _make_kriging_fill_kernel(R, th, tw, n_chunks, model, solver, prefetch)
     hw_tab = jnp.asarray([H, W], jnp.int32)
     sh, sw = _slab_shape(R, th, tw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -736,8 +751,8 @@ def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 12
             (th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, sh, sw), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 1)),
+            pltpu.VMEM((prefetch, sh, sw), jnp.float32),
+            pltpu.SemaphoreType.DMA((prefetch, 1)),
         ],
     )
     out = pl.pallas_call(

@@ -365,3 +365,25 @@ def test_pallas_fused_kriging_lu_matches_gj(grid):
     assert (np.isnan(a) == np.isnan(b)).all()
     both = ~np.isnan(a)
     np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_single_tile_grid():
+    """One-program grids exercise the double-buffer warmup-only path (the
+    steady-state prefetch branch never fires when lin == last)."""
+    from auvtpu.ops import fill_idw, fill_kriging
+    from auvtpu.pallas import pallas_fill_idw, pallas_fill_kriging
+
+    elev = shelf_seamount(32, 32)
+    elev, _, _ = mask_grid(elev, 0.3, seed=5)
+    g = RegularGrid.from_nan_array(elev, Extent(0.0, 31.0, 0.0, 31.0))
+    with _interp():
+        a = np.asarray(pallas_fill_kriging(g, max_radius=5, tile=(32, 32)))
+        d = np.asarray(pallas_fill_idw(g, k=8, max_radius=5, tile=(32, 32)))
+    b = np.asarray(fill_kriging(g, max_radius=5))
+    e = np.asarray(fill_idw(g, k=8, max_radius=5))
+    assert (np.isnan(a) == np.isnan(b)).all()
+    both = ~np.isnan(a)
+    np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
+    np.testing.assert_array_equal(np.isnan(d), np.isnan(e))
+    both = ~np.isnan(d)
+    np.testing.assert_allclose(d[both], e[both], rtol=1e-5, atol=1e-3)
