@@ -184,14 +184,14 @@ def _pad_saturated_cnt(hw_ref, th: int, tw: int, k: int):
     return jnp.where(in_b, 0.0, float(k)).astype(jnp.float32)
 
 
-def _make_fill_kernel(kind: str, k: int, power: float, radius: int, th: int, tw: int, n_chunks: int, eps: float):
+def _make_fill_kernel(kind: str, k: int, power: float, radius: int, th: int, tw: int, n_chunks: int, eps: float, nbuf: int = 2):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(dy_ref, dx_ref, w_ref, hw_ref, elev_hbm, valid_hbm, out_ref, slab_e2, slab_v2, sem):
         sh, sw = _slab_shape(radius, th, tw)
         slot = _db_fetch(
-            [(elev_hbm, slab_e2), (valid_hbm, slab_v2)], sem, th, tw, sh, sw
+            [(elev_hbm, slab_e2), (valid_hbm, slab_v2)], sem, th, tw, sh, sw, nbuf
         )
         slab_e = slab_e2.at[slot]
         slab_v = slab_v2.at[slot]
@@ -245,9 +245,9 @@ def _make_fill_kernel(kind: str, k: int, power: float, radius: int, th: int, tw:
 
 @partial(
     jax.jit,
-    static_argnames=("kind", "k", "power", "max_radius", "tile"),
+    static_argnames=("kind", "k", "power", "max_radius", "tile", "prefetch"),
 )
-def _pallas_fill(grid: RegularGrid, *, kind: str, k: int, power: float, max_radius: int, tile=(32, 128)):
+def _pallas_fill(grid: RegularGrid, *, kind: str, k: int, power: float, max_radius: int, tile=(32, 128), prefetch: int = 2):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -268,7 +268,7 @@ def _pallas_fill(grid: RegularGrid, *, kind: str, k: int, power: float, max_radi
         w_np = np.ones_like(d2s)
     w_tab = jnp.asarray(np.where(live > 0, w_np, 0.0), jnp.float32)
 
-    kernel = _make_fill_kernel(kind, k, power, R, th, tw, n_chunks, eps)
+    kernel = _make_fill_kernel(kind, k, power, R, th, tw, n_chunks, eps, prefetch)
 
     hw_tab = jnp.asarray([H, W], jnp.int32)
     sh, sw = _slab_shape(R, th, tw)
@@ -283,9 +283,9 @@ def _pallas_fill(grid: RegularGrid, *, kind: str, k: int, power: float, max_radi
             (th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, sh, sw), jnp.float32),
-            pltpu.VMEM((2, sh, sw), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((prefetch, sh, sw), jnp.float32),
+            pltpu.VMEM((prefetch, sh, sw), jnp.float32),
+            pltpu.SemaphoreType.DMA((prefetch, 2)),
         ],
     )
     out = pl.pallas_call(
@@ -296,27 +296,27 @@ def _pallas_fill(grid: RegularGrid, *, kind: str, k: int, power: float, max_radi
     return out[:H, :W]
 
 
-def pallas_fill_idw(grid: RegularGrid, *, k: int = 8, power: float = 2.0, max_radius: int = 10, tile=(32, 128)):
+def pallas_fill_idw(grid: RegularGrid, *, k: int = 8, power: float = 2.0, max_radius: int = 10, tile=(32, 128), prefetch: int = 2):
     """Pallas twin of ops.dense.fill_idw."""
-    return _pallas_fill(grid, kind="idw", k=k, power=power, max_radius=max_radius, tile=tile)
+    return _pallas_fill(grid, kind="idw", k=k, power=power, max_radius=max_radius, tile=tile, prefetch=prefetch)
 
 
-def pallas_fill_mean(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(32, 128)):
+def pallas_fill_mean(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(32, 128), prefetch: int = 2):
     """Pallas twin of ops.dense.fill_window_mean."""
-    return _pallas_fill(grid, kind="mean", k=k, power=0.0, max_radius=max_radius, tile=tile)
+    return _pallas_fill(grid, kind="mean", k=k, power=0.0, max_radius=max_radius, tile=tile, prefetch=prefetch)
 
 
 # ---------------------------------------------------------------------------
 # top-k slot-index kernel (kriging front end)
 # ---------------------------------------------------------------------------
 
-def _make_topk_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int):
+def _make_topk_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int, nbuf: int = 2):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(dy_ref, dx_ref, live_ref, hw_ref, valid_hbm, cnt_ref, idx_ref, slab_v2, sem):
         sh, sw = _slab_shape(radius, th, tw)
-        slot = _db_fetch([(valid_hbm, slab_v2)], sem, th, tw, sh, sw)
+        slot = _db_fetch([(valid_hbm, slab_v2)], sem, th, tw, sh, sw, nbuf)
         slab_v = slab_v2.at[slot]
 
         zero = jnp.zeros((th, tw), jnp.float32)
@@ -355,8 +355,8 @@ def _make_topk_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("k", "max_radius", "tile"))
-def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(32, 128)):
+@partial(jax.jit, static_argnames=("k", "max_radius", "tile", "prefetch"))
+def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(32, 128), prefetch: int = 2):
     """Pallas twin of ops.dense.window_topk_idx: (cnt, [idx planes])."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -370,7 +370,7 @@ def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile
     dx_tab = jnp.asarray(dxs + R, jnp.int32)
     live_tab = jnp.asarray(live, jnp.float32)
 
-    kernel = _make_topk_kernel(k, R, th, tw, n_chunks)
+    kernel = _make_topk_kernel(k, R, th, tw, n_chunks, prefetch)
     hw_tab = jnp.asarray([H, W], jnp.int32)
     sh, sw = _slab_shape(R, th, tw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -384,8 +384,8 @@ def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, sh, sw), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 1)),
+            pltpu.VMEM((prefetch, sh, sw), jnp.float32),
+            pltpu.SemaphoreType.DMA((prefetch, 1)),
         ],
     )
     cnt, idxs = pl.pallas_call(
@@ -409,7 +409,7 @@ def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile
 # and validity ride in ONE NaN-encoded slab (half the DMA traffic); slot
 # updates use selects, never arithmetic, so NaN cannot leak.
 
-def _make_topk_full_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int):
+def _make_topk_full_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int, nbuf: int = 2):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -417,7 +417,7 @@ def _make_topk_full_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int)
 
     def kernel(dy_ref, dx_ref, live_ref, hw_ref, nanp_hbm, out_ref, slab2, sem):
         sh, sw = _slab_shape(radius, th, tw)
-        slot = _db_fetch([(nanp_hbm, slab2)], sem, th, tw, sh, sw)
+        slot = _db_fetch([(nanp_hbm, slab2)], sem, th, tw, sh, sw, nbuf)
         slab = slab2.at[slot]
 
         zero = jnp.zeros((th, tw), jnp.float32)
@@ -461,8 +461,8 @@ def _make_topk_full_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int)
     return kernel
 
 
-@partial(jax.jit, static_argnames=("k", "max_radius", "tile", "convention"))
-def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(32, 128), convention: str = "reference"):
+@partial(jax.jit, static_argnames=("k", "max_radius", "tile", "convention", "prefetch"))
+def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile=(32, 128), convention: str = "reference", prefetch: int = 2):
     """Value-carrying first-k-valid selection: returns (cnt, vals list,
     dxs list, dys list) planes — a drop-in for ops.dense.window_topk_planes
     with per-tile early exit."""
@@ -492,7 +492,7 @@ def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, til
     dx_tab = jnp.asarray(dxs + R, jnp.int32)
     live_tab = jnp.asarray(live, jnp.float32)
 
-    kernel = _make_topk_full_kernel(k, R, th, tw, n_chunks)
+    kernel = _make_topk_full_kernel(k, R, th, tw, n_chunks, prefetch)
     hw_tab = jnp.asarray([H, W], jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -502,8 +502,8 @@ def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, til
             (1 + 2 * k, th, tw), lambda i, j, *_: (0, i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, sh, sw), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 1)),
+            pltpu.VMEM((prefetch, sh, sw), jnp.float32),
+            pltpu.SemaphoreType.DMA((prefetch, 1)),
         ],
     )
     out = pl.pallas_call(

@@ -55,58 +55,11 @@ def load_workload():
 
 
 def wait_for_device(max_wait_s: float = 900.0):
-    """The axon tunnel flaps occasionally (observed r2: backend down for
-    ~an hour); a transient outage must not junk the round's headline.
+    """Delegates to auvtpu.utils.device.wait_for_device (shared with the
+    chip probe/campaign scripts); see that module for the probe strategy."""
+    from auvtpu.utils.device import wait_for_device as _wait
 
-    Probe with SUBPROCESSES first: a failed in-process backend init is
-    cached by jax.xla_bridge, so this process must not touch jax.devices()
-    until a fresh interpreter confirms a backend answers.  The tunnel has
-    two personalities — the 'axon' plugin (default env) and the raw 'tpu'
-    platform via libtpu — and outages have been observed where one
-    recovers before the other, so probe both.
-    """
-    import os
-    import subprocess
-
-    def probe(platforms):
-        env = dict(os.environ)
-        if platforms is not None:
-            env["JAX_PLATFORMS"] = platforms
-        try:
-            # 540 s: a healthy-but-cold axon backend pays ~100-400 s of
-            # warmup before answering (CLAUDE.md); a 180 s probe would call
-            # a cold tunnel 'down' forever
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; assert jax.devices()[0].platform != 'cpu'"],
-                capture_output=True, timeout=540, env=env,
-            )
-            return r.returncode == 0
-        except subprocess.TimeoutExpired:
-            return False
-
-    t0 = time.time()
-    delay = 10.0
-    platform = None
-    while True:
-        if probe(None):
-            platform = None
-            break
-        if probe("tpu"):
-            platform = "tpu"
-            break
-        if time.time() - t0 > max_wait_s:
-            log("device backend still down after budget; proceeding (will fail loudly)")
-            break
-        log(f"device backend not ready; retrying in {delay:.0f}s")
-        time.sleep(delay)
-        delay = min(delay * 1.5, 60.0)
-    import jax
-
-    if platform is not None:
-        jax.config.update("jax_platforms", platform)
-    devs = jax.devices()
-    log(f"device: {devs[0].platform} {getattr(devs[0], 'device_kind', '')}")
+    _wait(max_wait_s, log=log)
 
 
 def main():

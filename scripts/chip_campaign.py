@@ -42,6 +42,9 @@ def main():
                    help="skip the (slow) bit-exact parity rows")
     args = p.parse_args()
 
+    from auvtpu.utils.device import wait_for_device
+
+    wait_for_device()
     import jax
 
     dev = jax.devices()[0]

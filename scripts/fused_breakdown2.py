@@ -173,6 +173,8 @@ def main():
     from auvtpu.synthetic import kerguelen_standin
     from auvtpu.utils.timing import steady_state_ms
 
+    from auvtpu.utils.device import wait_for_device
+    wait_for_device()
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {dev.device_kind}", flush=True)
     elev = kerguelen_standin()
