@@ -98,6 +98,37 @@ def _window_reader(slab_ref, radius, th, tw):
     return window
 
 
+def _static_window_reader(slab_ref, radius, th, tw):
+    """Static-offset twin of _window_reader for the peeled first chunk.
+
+    The offset table is host-static, and the while-loop condition forces
+    chunk 0 on every tile — so its 9 windows can be read with *compile-time*
+    offsets: one slab load, then a static lax.slice per offset.  A static
+    slice materializes only the (th, tw) window (shift + extract), versus the
+    dynamic path's two whole-slab rotates (~3.5x the data movement for the
+    production (32,128)/R=10 shape).  Same elements, same order — bit-exact.
+    """
+    x = slab_ref[:]
+
+    def window(dy0: int, dx0: int):
+        # dy0/dx0 are python ints in [0, 2R] (table value + R)
+        return jax.lax.slice(x, (dy0, dx0), (dy0 + th, dx0 + tw))
+
+    return window
+
+
+def _peel_tables(radius: int, convention: str = "reference"):
+    """Host-static (dy0, dx0, live, d2) rows of chunk 0 of the sorted offset
+    table, as plain python scalars for baking into the kernel."""
+    dxs, dys, d2s, live, n_chunks = _padded_tables(radius, convention)
+    n = min(_CHUNK, len(dxs))
+    rows = [
+        (int(dys[t]) + radius, int(dxs[t]) + radius, float(live[t]), float(d2s[t]))
+        for t in range(n)
+    ]
+    return rows, n_chunks
+
+
 def _db_fetch(pairs, sem, th: int, tw: int, sh: int, sw: int, nbuf: int = 2):
     """Multi-buffered halo-slab prefetch across sequential grid programs.
 
@@ -184,7 +215,7 @@ def _pad_saturated_cnt(hw_ref, th: int, tw: int, k: int):
     return jnp.where(in_b, 0.0, float(k)).astype(jnp.float32)
 
 
-def _make_fill_kernel(kind: str, k: int, power: float, radius: int, th: int, tw: int, n_chunks: int, eps: float, nbuf: int = 2):
+def _make_fill_kernel(kind: str, k: int, power: float, radius: int, th: int, tw: int, n_chunks: int, eps: float, nbuf: int = 2, peel_rows=()):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -199,13 +230,35 @@ def _make_fill_kernel(kind: str, k: int, power: float, radius: int, th: int, tw:
         zero = jnp.zeros((th, tw), jnp.float32)
         cnt0 = _pad_saturated_cnt(hw_ref, th, tw, k)
         if kind == "idw":
-            init = (cnt0, zero, zero)  # cnt, wsum, vsum
+            st0 = (cnt0, zero, zero)  # cnt, wsum, vsum
         else:
-            init = (cnt0, zero)  # cnt, sum
+            st0 = (cnt0, zero)  # cnt, sum
+
+        # ---- static peel of chunk 0 (every tile runs it; see _static_window_reader)
+        # peel_rows carry (dy0, dx0, wj) with wj taken verbatim from the f32
+        # host weight table, so the embedded constants are bit-identical to
+        # what the dynamic path reads from w_ref
+        swin_e = _static_window_reader(slab_e, radius, th, tw)
+        swin_v = _static_window_reader(slab_v, radius, th, tw)
+        for dy0, dx0, wj_s in peel_rows:
+            if wj_s <= 0.0:
+                continue
+            v = swin_e(dy0, dx0)
+            ok = swin_v(dy0, dx0)
+            if kind == "idw":
+                cnt, ws, vs = st0
+                take = ok * (cnt < k)
+                w = take * wj_s
+                st0 = (cnt + take, ws + w, vs + w * v)
+            else:
+                cnt, s = st0
+                take = ok * (cnt < k)
+                st0 = (cnt + take, s + take * v)
+        init = st0
 
         def cond(carry):
             c, st = carry
-            return (c == 0) | ((c < n_chunks) & (jnp.min(st[0]) < k))
+            return (c < n_chunks) & (jnp.min(st[0]) < k)
 
         win_e = _window_reader(slab_e, radius, th, tw)
         win_v = _window_reader(slab_v, radius, th, tw)
@@ -232,7 +285,7 @@ def _make_fill_kernel(kind: str, k: int, power: float, radius: int, th: int, tw:
                     st = (cnt + take, s + take * v)
             return (c + 1, st)
 
-        _, st = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), init))
+        _, st = jax.lax.while_loop(cond, body, (jnp.asarray(1, jnp.int32), init))
         if kind == "idw":
             cnt, ws, vs = st
             out_ref[:] = jnp.where(cnt > 0, vs / jnp.maximum(ws, eps), jnp.nan)
@@ -268,7 +321,12 @@ def _pallas_fill(grid: RegularGrid, *, kind: str, k: int, power: float, max_radi
         w_np = np.ones_like(d2s)
     w_tab = jnp.asarray(np.where(live > 0, w_np, 0.0), jnp.float32)
 
-    kernel = _make_fill_kernel(kind, k, power, R, th, tw, n_chunks, eps, prefetch)
+    w_masked = np.where(live > 0, w_np, 0.0).astype(np.float32)
+    peel_rows = [
+        (int(dys[t]) + R, int(dxs[t]) + R, float(w_masked[t]))
+        for t in range(min(_CHUNK, len(dxs)))
+    ]
+    kernel = _make_fill_kernel(kind, k, power, R, th, tw, n_chunks, eps, prefetch, peel_rows)
 
     hw_tab = jnp.asarray([H, W], jnp.int32)
     sh, sw = _slab_shape(R, th, tw)
@@ -310,7 +368,7 @@ def pallas_fill_mean(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, til
 # top-k slot-index kernel (kriging front end)
 # ---------------------------------------------------------------------------
 
-def _make_topk_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int, nbuf: int = 2):
+def _make_topk_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int, nbuf: int = 2, peel_rows=()):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -321,11 +379,27 @@ def _make_topk_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int, nbuf
 
         zero = jnp.zeros((th, tw), jnp.float32)
         cnt0 = _pad_saturated_cnt(hw_ref, th, tw, k)
-        init = (cnt0, tuple(zero - 1.0 for _ in range(k)))
+        st0 = (cnt0, tuple(zero - 1.0 for _ in range(k)))
+
+        # ---- static peel of chunk 0 (see _static_window_reader)
+        swin_v = _static_window_reader(slab_v, radius, th, tw)
+        for t, (dy0, dx0, live_s, _d2) in enumerate(peel_rows):
+            if live_s <= 0.0:
+                continue
+            cnt, idxs = st0
+            ok = swin_v(dy0, dx0)
+            take = ok * (cnt < k)
+            jf = float(t)
+            idxs = tuple(
+                idxs[s] + take * jnp.where(cnt == s, 1.0, 0.0) * (jf - idxs[s])
+                for s in range(k)
+            )
+            st0 = (cnt + take, idxs)
+        init = st0
 
         def cond(carry):
             c, st = carry
-            return (c == 0) | ((c < n_chunks) & (jnp.min(st[0]) < k))
+            return (c < n_chunks) & (jnp.min(st[0]) < k)
 
         win_v = _window_reader(slab_v, radius, th, tw)
 
@@ -347,7 +421,7 @@ def _make_topk_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int, nbuf
                 cnt = cnt + take
             return (c + 1, (cnt, idxs))
 
-        _, (cnt, idxs) = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), init))
+        _, (cnt, idxs) = jax.lax.while_loop(cond, body, (jnp.asarray(1, jnp.int32), init))
         cnt_ref[:] = cnt
         for s in range(k):
             idx_ref[s] = idxs[s]
@@ -370,7 +444,8 @@ def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile
     dx_tab = jnp.asarray(dxs + R, jnp.int32)
     live_tab = jnp.asarray(live, jnp.float32)
 
-    kernel = _make_topk_kernel(k, R, th, tw, n_chunks, prefetch)
+    peel_rows, _ = _peel_tables(R)
+    kernel = _make_topk_kernel(k, R, th, tw, n_chunks, prefetch, peel_rows)
     hw_tab = jnp.asarray([H, W], jnp.int32)
     sh, sw = _slab_shape(R, th, tw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -409,7 +484,7 @@ def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile
 # and validity ride in ONE NaN-encoded slab (half the DMA traffic); slot
 # updates use selects, never arithmetic, so NaN cannot leak.
 
-def _make_topk_full_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int, nbuf: int = 2):
+def _make_topk_full_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int, nbuf: int = 2, peel_rows=()):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -422,12 +497,30 @@ def _make_topk_full_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int,
 
         zero = jnp.zeros((th, tw), jnp.float32)
         cnt0 = _pad_saturated_cnt(hw_ref, th, tw, k)
-        init = (cnt0, tuple(zero for _ in range(k)), tuple(zero - 1.0 for _ in range(k)))
+        st0 = (cnt0, tuple(zero for _ in range(k)), tuple(zero - 1.0 for _ in range(k)))
+
+        # ---- static peel of chunk 0 (see _static_window_reader)
+        swin = _static_window_reader(slab, radius, th, tw)
+        for dy0, dx0, live_s, _d2 in peel_rows:
+            if live_s <= 0.0:
+                continue
+            cnt, vals, codes = st0
+            v = swin(dy0, dx0)
+            okv = jnp.logical_not(jnp.isnan(v))
+            take = jnp.where(okv, (cnt < k).astype(jnp.float32), 0.0)
+            code_s = float(dx0 * code_base + dy0)
+            nv, nc = [], []
+            for s in range(k):
+                hit = (take > 0) & (cnt == s)
+                nv.append(jnp.where(hit, v, vals[s]))
+                nc.append(jnp.where(hit, code_s, codes[s]))
+            st0 = (cnt + take, tuple(nv), tuple(nc))
+        init = st0
         win = _window_reader(slab, radius, th, tw)
 
         def cond(carry):
             c, (cnt, _v, _o) = carry
-            return (c == 0) | ((c < n_chunks) & (jnp.min(cnt) < k))
+            return (c < n_chunks) & (jnp.min(cnt) < k)
 
         def body(carry):
             c, (cnt, vals, codes) = carry
@@ -451,7 +544,7 @@ def _make_topk_full_kernel(k: int, radius: int, th: int, tw: int, n_chunks: int,
             return (c + 1, (cnt, vals, codes))
 
         _, (cnt, vals, codes) = jax.lax.while_loop(
-            cond, body, (jnp.asarray(0, jnp.int32), init)
+            cond, body, (jnp.asarray(1, jnp.int32), init)
         )
         out_ref[0] = cnt
         for s in range(k):
@@ -492,7 +585,8 @@ def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, til
     dx_tab = jnp.asarray(dxs + R, jnp.int32)
     live_tab = jnp.asarray(live, jnp.float32)
 
-    kernel = _make_topk_full_kernel(k, R, th, tw, n_chunks, prefetch)
+    peel_rows, _ = _peel_tables(R, convention)
+    kernel = _make_topk_full_kernel(k, R, th, tw, n_chunks, prefetch, peel_rows)
     hw_tab = jnp.asarray([H, W], jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -536,7 +630,7 @@ def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, til
 # fully-fused kriging fill kernel: selection + 5x6 Gauss-Jordan in VMEM
 # ---------------------------------------------------------------------------
 
-def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, model: str = "exponential", solver: str = "lu", nbuf: int = 2):
+def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, model: str = "exponential", solver: str = "lu", nbuf: int = 2, peel_rows=()):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -552,12 +646,30 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, mode
 
         zero = jnp.zeros((th, tw), jnp.float32)
         cnt0 = _pad_saturated_cnt(hw_ref, th, tw, K)
-        init = (cnt0, tuple(zero for _ in range(K)), tuple(zero - 1.0 for _ in range(K)))
+        st0 = (cnt0, tuple(zero for _ in range(K)), tuple(zero - 1.0 for _ in range(K)))
+
+        # ---- static peel of chunk 0 (see _static_window_reader)
+        swin = _static_window_reader(slab, radius, th, tw)
+        for dy0, dx0, live_s, _d2 in peel_rows:
+            if live_s <= 0.0:
+                continue
+            cnt, vals, codes = st0
+            v = swin(dy0, dx0)
+            okv = jnp.logical_not(jnp.isnan(v))
+            take = jnp.where(okv, (cnt < K).astype(jnp.float32), 0.0)
+            code_s = float(dx0 * code_base + dy0)
+            nv, nc = [], []
+            for s in range(K):
+                hit = (take > 0) & (cnt == s)
+                nv.append(jnp.where(hit, v, vals[s]))
+                nc.append(jnp.where(hit, code_s, codes[s]))
+            st0 = (cnt + take, tuple(nv), tuple(nc))
+        init = st0
         win = _window_reader(slab, radius, th, tw)
 
         def cond(carry):
             c, (cnt, _v, _o) = carry
-            return (c == 0) | ((c < n_chunks) & (jnp.min(cnt) < K))
+            return (c < n_chunks) & (jnp.min(cnt) < K)
 
         def body(carry):
             c, (cnt, vals, codes) = carry
@@ -581,7 +693,7 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, mode
             return (c + 1, (cnt, vals, codes))
 
         _, (cnt, vals, codes) = jax.lax.while_loop(
-            cond, body, (jnp.asarray(0, jnp.int32), init)
+            cond, body, (jnp.asarray(1, jnp.int32), init)
         )
 
         # ---- decode offsets and build the kriging system as plane registers
@@ -740,7 +852,8 @@ def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 12
         jnp.float32,
     )
 
-    kernel = _make_kriging_fill_kernel(R, th, tw, n_chunks, model, solver, prefetch)
+    peel_rows, _ = _peel_tables(R, convention)
+    kernel = _make_kriging_fill_kernel(R, th, tw, n_chunks, model, solver, prefetch, peel_rows)
     hw_tab = jnp.asarray([H, W], jnp.int32)
     sh, sw = _slab_shape(R, th, tw)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -1,0 +1,89 @@
+"""Chip probe: interleaved confirmation sweep of the fused kriging kernel's
+tile/solver default.
+
+fused_tile_sweep2 measured each config once, sequentially; its own footnote
+says in-process noise is ~7% and cross-process ~20%, while the spread between
+the current default ((32,128) lu) and the best candidate ((64,128) lu) was
+~8% — inside the noise band.  This probe times the four live candidates in
+round-robin order for R rounds and reports per-config medians, so slow drift
+(tunnel weather, clock ramps) cancels instead of biasing whichever config ran
+first.  Flip the pallas_fill_kriging default only on a consistent winner.
+
+Serialize with other chip work (CLAUDE.md).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CANDIDATES = (
+    ((32, 128), "lu"),   # current default
+    ((32, 128), "gj"),
+    ((32, 256), "lu"),
+    ((64, 128), "lu"),
+    ((64, 128), "gj"),
+    ((64, 256), "gj"),
+)
+ROUNDS = 5
+
+
+def main():
+    import auvtpu  # noqa: F401
+    import jax
+
+    from auvtpu.config import KERGUELEN_EXTENT
+    from auvtpu.grid import RegularGrid
+    from auvtpu.masking import mask_grid
+    from auvtpu.pallas import pallas_fill_kriging
+    from auvtpu.synthetic import kerguelen_standin
+    from auvtpu.utils.device import wait_for_device
+    from auvtpu.utils.timing import steady_state_ms
+
+    wait_for_device()
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {dev.device_kind}", flush=True)
+    elev = kerguelen_standin()
+    reduced, rc, truth = mask_grid(elev, 0.10)
+    grid = RegularGrid.from_nan_array(np.asarray(reduced, np.float32), KERGUELEN_EXTENT)
+    n = len(truth)
+    print(f"grid {reduced.shape}, {n} masked, {ROUNDS} interleaved rounds", flush=True)
+
+    # compile + parity check everything up front so timing rounds are pure
+    ref = None
+    for tile, solver in CANDIDATES:
+        out = np.asarray(pallas_fill_kriging(grid, tile=tile, solver=solver))
+        if ref is None:
+            ref = out
+        else:
+            assert (np.isnan(ref) == np.isnan(out)).all(), "NaN mask mismatch"
+            both = ~np.isnan(ref)
+            par = float(np.abs(ref[both] - out[both]).max())
+            print(f"tile={tile} solver={solver} parity vs first: {par:.2e}", flush=True)
+
+    times = {c: [] for c in CANDIDATES}
+    for r in range(ROUNDS):
+        for tile, solver in CANDIDATES:
+            ms = steady_state_ms(
+                lambda tile=tile, solver=solver: pallas_fill_kriging(
+                    grid, tile=tile, solver=solver
+                ),
+                iters=15, warmup=1,
+            )
+            times[(tile, solver)].append(ms)
+        print(f"round {r} done", flush=True)
+
+    print(f"{'config':28s} {'median':>8s} {'min':>8s} {'max':>8s}   M pts/s", flush=True)
+    for c, ts in sorted(times.items(), key=lambda kv: float(np.median(kv[1]))):
+        med = float(np.median(ts))
+        print(
+            f"tile={c[0]} solver={c[1]:4s} {med:8.2f} {min(ts):8.2f} {max(ts):8.2f}"
+            f"   {n/med/1e3:8.1f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
