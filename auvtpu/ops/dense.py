@@ -71,6 +71,15 @@ def _shift(p: jax.Array, dy: jax.Array, dx: jax.Array, radius: int, shape):
     return jax.lax.dynamic_slice(p, (radius + dy, radius + dx), shape)
 
 
+def _shift_static(p: jax.Array, dy: int, dx: int, radius: int, shape):
+    """_shift with compile-time offsets: a static lax.slice, which XLA fuses
+    into the consuming elementwise graph instead of emitting a dynamic-slice
+    copy.  Used by the chunk-0 peel (see _offset_loop)."""
+    return jax.lax.slice(
+        p, (radius + dy, radius + dx), (radius + dy + shape[0], radius + dx + shape[1])
+    )
+
+
 # ---------------------------------------------------------------------------
 # bilinear fill (cell-aligned): corner-mean semantics at every cell
 # ---------------------------------------------------------------------------
@@ -134,9 +143,22 @@ def _offset_loop(grid: RegularGrid, max_radius: int, init, step, saturated, conv
     pe, pv = _padded(grid, max_radius)
     shape = grid.shape
 
+    # static peel of chunk 0: the old (c == 0) cond clause forced it on every
+    # grid, and the offset table is host-static — so its windows can be read
+    # with compile-time slice starts (fusable) instead of dynamic-slice
+    # copies.  Same offsets, same order, same f32 table constants: bit-exact.
+    state = init
+    for i in range(min(_CHUNK, len(dxs))):
+        if live[i] == 0.0:
+            continue  # tail padding (only reachable when the table is short)
+        v = _shift_static(pe, int(dys[i]), int(dxs[i]), max_radius, shape)
+        ok = _shift_static(pv, int(dys[i]), int(dxs[i]), max_radius, shape)
+        state = step(state, v, ok, jnp.asarray(d2s[i]), jnp.asarray(np.float32(1.0)))
+    init = state
+
     def cond(carry):
         c, state = carry
-        return (c == 0) | ((c < n_chunks) & ~saturated(state))
+        return (c < n_chunks) & ~saturated(state)
 
     def body(carry):
         c, state = carry
@@ -150,7 +172,7 @@ def _offset_loop(grid: RegularGrid, max_radius: int, init, step, saturated, conv
             state = step(state, v, ok, td2[j], tlive[j])
         return (c + 1, state)
 
-    _, state = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), init))
+    _, state = jax.lax.while_loop(cond, body, (jnp.asarray(1, jnp.int32), init))
     return state
 
 
@@ -215,9 +237,24 @@ def window_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, conv
     pe, pv = _padded(grid, max_radius)
     shape = grid.shape
 
+    # static peel of chunk 0 (see _offset_loop)
+    cnt, idxs = init
+    for i in range(min(_CHUNK, len(dxs))):
+        if live[i] == 0.0:
+            continue
+        v_ok = _shift_static(pv, int(dys[i]), int(dxs[i]), max_radius, shape)
+        take = v_ok * (cnt < k).astype(dt)
+        jf = jnp.asarray(i, jnp.int32).astype(dt)
+        idxs = [
+            idxs[s] + take * (cnt == s).astype(dt) * (jf - idxs[s])
+            for s in range(k)
+        ]
+        cnt = cnt + take
+    init = (cnt, idxs)
+
     def cond(carry):
         c, (cnt, _) = carry
-        return (c == 0) | ((c < n_chunks) & (jnp.min(cnt) < k))
+        return (c < n_chunks) & (jnp.min(cnt) < k)
 
     def body(carry):
         c, (cnt, idxs) = carry
@@ -235,7 +272,7 @@ def window_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, conv
         return (c + 1, (cnt, idxs))
 
     _, (cnt, idxs) = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), init)
+        cond, body, (jnp.asarray(1, jnp.int32), init)
     )
     return cnt, idxs
 
@@ -299,9 +336,30 @@ def window_topk_planes(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, c
     pe, pv = _padded(grid, max_radius)
     shape = grid.shape
 
+    # static peel of chunk 0 (see _offset_loop)
+    cnt, vals, dxs, dys = init
+    for i in range(min(_CHUNK, len(dxs_t))):
+        if live[i] == 0.0:
+            continue
+        dy_i, dx_i = int(dys_t[i]), int(dxs_t[i])
+        v = _shift_static(pe, dy_i, dx_i, max_radius, shape)
+        ok = _shift_static(pv, dy_i, dx_i, max_radius, shape)
+        take = ok * (cnt < k).astype(dt)
+        fdx = jnp.asarray(dx_i, jnp.int32).astype(dt)
+        fdy = jnp.asarray(dy_i, jnp.int32).astype(dt)
+        nv, ndx, ndy = [], [], []
+        for s in range(k):
+            hit = take * (cnt == s).astype(dt)
+            nv.append(vals[s] + hit * (v - vals[s]))
+            ndx.append(dxs[s] + hit * (fdx - dxs[s]))
+            ndy.append(dys[s] + hit * (fdy - dys[s]))
+        cnt = cnt + take
+        vals, dxs, dys = nv, ndx, ndy
+    init = (cnt, vals, dxs, dys)
+
     def cond(carry):
         c, (cnt, *_rest) = carry
-        return (c == 0) | ((c < n_chunks) & (jnp.min(cnt) < k))
+        return (c < n_chunks) & (jnp.min(cnt) < k)
 
     def body(carry):
         c, (cnt, vals, dxs, dys) = carry
@@ -325,7 +383,7 @@ def window_topk_planes(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, c
             vals, dxs, dys = nv, ndx, ndy
         return (c + 1, (cnt, vals, dxs, dys))
 
-    _, state = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), init))
+    _, state = jax.lax.while_loop(cond, body, (jnp.asarray(1, jnp.int32), init))
     return state
 
 
