@@ -132,6 +132,23 @@ def main():
     b = np.asarray(pallas_fill_kriging(grid))
     check("pallas_fill_kriging vs xla", *close(b, a, 0.05))
 
+    # the other peeled dense kernels (static chunk-0 lax.slice windows —
+    # interpret mode cannot prove Mosaic legality, only the chip can)
+    from auvtpu.ops import fill_idw, fill_window_mean
+    from auvtpu.ops.dense import window_topk_planes
+    from auvtpu.pallas import pallas_fill_idw, pallas_fill_mean, pallas_topk_full
+
+    a = np.asarray(fill_idw(grid))
+    b = np.asarray(pallas_fill_idw(grid))
+    check("pallas_fill_idw vs xla", *close(b, a, 1e-5))
+    a = np.asarray(fill_window_mean(grid))
+    b = np.asarray(pallas_fill_mean(grid))
+    check("pallas_fill_mean vs xla", *close(b, a, 1e-5))
+    cnt_x, _, _, _ = window_topk_planes(grid)
+    cnt_p, _, _, _ = pallas_topk_full(grid)
+    eq = bool((np.asarray(cnt_p) == np.asarray(cnt_x)).all())
+    check("pallas_topk_full cnt vs xla", eq)
+
     # ---- exact mode: published-style digit parity from the chip ----------
     from auvtpu.ops.exact import exact_kriging_at_cells
 
