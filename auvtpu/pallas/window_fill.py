@@ -630,7 +630,7 @@ def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, til
 # fully-fused kriging fill kernel: selection + 5x6 Gauss-Jordan in VMEM
 # ---------------------------------------------------------------------------
 
-def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, model: str = "exponential", solver: str = "lu", nbuf: int = 2, peel_rows=()):
+def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, model: str = "exponential", solver: str = "lu", nbuf: int = 2, peel_rows=(), with_variance: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -759,6 +759,7 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, mode
             ddy = cy[a] - qlat
             M[a][5] = gamma(jnp.sqrt(ddx * ddx + ddy * ddy))
         M[4] = [one, one, one, one, zero, one]
+        gamma0 = [M[a][5] for a in range(K)] if with_variance else None
 
         singular = jnp.zeros((th, tw), bool)
         if solver == "gj":
@@ -805,18 +806,31 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, mode
         pred = lam[0] * vz[0] + lam[1] * vz[1] + lam[2] * vz[2] + lam[3] * vz[3]
         fbs = vz[0] + vz[1] + vz[2] + vz[3]
         fb = jnp.where(cnt > 0, fbs / jnp.maximum(cnt, 1.0), jnp.nan)
-        out_ref[:] = jnp.where(singular | (cnt < K), fb, pred)
+        bail = singular | (cnt < K)
+        if not with_variance:
+            out_ref[:] = jnp.where(bail, fb, pred)
+            return
+        # ordinary-kriging prediction variance: sigma^2 = sum_i w_i gamma_i0
+        # + mu (op-ordered like ops.scattered.krige_solve_cols; fallback
+        # cells have no defined variance)
+        mu = M[4][5] if solver == "gj" else lam[4]
+        var = sum(lam[a] * gamma0[a] for a in range(K)) + mu
+        var = jnp.maximum(var, 0.0)
+        out_ref[0] = jnp.where(bail, fb, pred)
+        out_ref[1] = jnp.where(bail, jnp.nan, var)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("max_radius", "tile", "convention", "model", "solver", "prefetch"))
-def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 128), convention: str = "reference", vparams=None, model: str = "exponential", solver: str = "lu", prefetch: int = 2):
+@partial(jax.jit, static_argnames=("max_radius", "tile", "convention", "model", "solver", "prefetch", "with_variance"))
+def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 128), convention: str = "reference", vparams=None, model: str = "exponential", solver: str = "lu", prefetch: int = 2, with_variance: bool = False):
     """Fully-fused ordinary-kriging fill: window selection AND the batched
     5x6 solve run per tile in VMEM — one HBM read of the grid, one write of
     the prediction plane.  solver: 'lu' (forward elim + back-sub, default;
     measured ~15% faster end-to-end) or 'gj' (Gauss-Jordan, op-ordered like
-    the XLA path)."""
+    the XLA path).  with_variance=True additionally returns the
+    ordinary-kriging prediction-variance plane (sigma^2, NaN at fallback
+    cells) — the Pallas twin of ops.fill_kriging(with_variance=True)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -853,16 +867,26 @@ def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 12
     )
 
     peel_rows, _ = _peel_tables(R, convention)
-    kernel = _make_kriging_fill_kernel(R, th, tw, n_chunks, model, solver, prefetch, peel_rows)
+    kernel = _make_kriging_fill_kernel(
+        R, th, tw, n_chunks, model, solver, prefetch, peel_rows, with_variance
+    )
     hw_tab = jnp.asarray([H, W], jnp.int32)
     sh, sw = _slab_shape(R, th, tw)
+    if with_variance:
+        out_specs = pl.BlockSpec(
+            (2, th, tw), lambda i, j, *_: (0, i, j), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((2, Hp, Wp), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec(
+            (th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(Hp // th, Wp // tw),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (th, tw), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((prefetch, sh, sw), jnp.float32),
             pltpu.SemaphoreType.DMA((prefetch, 1)),
@@ -870,7 +894,9 @@ def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 12
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+        out_shape=out_shape,
         grid_spec=grid_spec,
     )(dy_tab, dx_tab, live_tab, par, hw_tab, nanp)
+    if with_variance:
+        return out[0, :H, :W], out[1, :H, :W]
     return out[:H, :W]

@@ -387,3 +387,28 @@ def test_pallas_single_tile_grid():
     np.testing.assert_array_equal(np.isnan(d), np.isnan(e))
     both = ~np.isnan(d)
     np.testing.assert_allclose(d[both], e[both], rtol=1e-5, atol=1e-3)
+
+
+def test_pallas_fill_kriging_variance_matches_xla(grid):
+    from auvtpu.ops import fill_kriging
+    from auvtpu.pallas import pallas_fill_kriging
+
+    with _interp():
+        a, av = pallas_fill_kriging(
+            grid, max_radius=5, tile=(32, 32), with_variance=True
+        )
+        a, av = np.asarray(a), np.asarray(av)
+    b, bv = fill_kriging(grid, max_radius=5, with_variance=True)
+    b, bv = np.asarray(b), np.asarray(bv)
+    assert (np.isnan(a) == np.isnan(b)).all()
+    assert (np.isnan(av) == np.isnan(bv)).all()
+    both = ~np.isnan(a)
+    np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
+    vboth = ~np.isnan(av)
+    assert (av[vboth] >= 0).all()
+    np.testing.assert_allclose(av[vboth], bv[vboth], rtol=1e-3, atol=0.05)
+    # the prediction plane must be identical whether or not the variance
+    # plane is requested
+    with _interp():
+        plain = np.asarray(pallas_fill_kriging(grid, max_radius=5, tile=(32, 32)))
+    assert np.array_equal(plain, a, equal_nan=True)
