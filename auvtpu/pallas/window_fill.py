@@ -706,11 +706,16 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, mode
         lat_step = par_ref[6]
         half = par_ref[7]
         pivot_tol = par_ref[8]
+        row0 = par_ref[9]
+        col0 = par_ref[10]
 
-        # tile (i, j)'s first output cell is global (i*th, j*tw) in unpadded
-        # grid coordinates (the halo only shifts the slab reads, not out_ref)
-        col = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + (j * tw).astype(jnp.float32)
-        row = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + (i * th).astype(jnp.float32)
+        # tile (i, j)'s first output cell is global (row0 + i*th, col0 + j*tw)
+        # in unpadded grid coordinates (the halo only shifts the slab reads,
+        # not out_ref); row0/col0 support sub-plane (sharded-block) execution.
+        # All addends are integers < 2^24, so the f32 sums are exact and
+        # order-independent — bit-identical to the XLA path's iota + col0.
+        col = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + (j * tw).astype(jnp.float32) + col0
+        row = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + (i * th).astype(jnp.float32) + row0
         qlon = min_lon + col * lon_step
         qlat = min_lat + row * lat_step
 
@@ -823,7 +828,7 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, mode
 
 
 @partial(jax.jit, static_argnames=("max_radius", "tile", "convention", "model", "solver", "prefetch", "with_variance"))
-def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 128), convention: str = "reference", vparams=None, model: str = "exponential", solver: str = "lu", prefetch: int = 2, with_variance: bool = False):
+def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 128), convention: str = "reference", vparams=None, model: str = "exponential", solver: str = "lu", prefetch: int = 2, with_variance: bool = False, row0=0, col0=0, steps=None):
     """Fully-fused ordinary-kriging fill: window selection AND the batched
     5x6 solve run per tile in VMEM — one HBM read of the grid, one write of
     the prediction plane.  solver: 'lu' (forward elim + back-sub, default;
@@ -857,11 +862,12 @@ def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 12
     dx_tab = jnp.asarray(dxs + R, jnp.int32)
     live_tab = jnp.asarray(live, jnp.float32)
     half = 0.5 if convention == "reference" else 0.0
+    lat_step, lon_step = (grid.lat_step, grid.lon_step) if steps is None else steps
     par = jnp.asarray(
         [
             vparams[0], vparams[1], vparams[2],
-            grid.min_lon, grid.min_lat, grid.lon_step, grid.lat_step,
-            half, cfg.pivot_tol,
+            grid.min_lon, grid.min_lat, lon_step, lat_step,
+            half, cfg.pivot_tol, row0, col0,
         ],
         jnp.float32,
     )

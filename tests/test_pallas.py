@@ -412,3 +412,17 @@ def test_pallas_fill_kriging_variance_matches_xla(grid):
     with _interp():
         plain = np.asarray(pallas_fill_kriging(grid, max_radius=5, tile=(32, 32)))
     assert np.array_equal(plain, a, equal_nan=True)
+
+
+def test_pallas_fill_kriging_subplane_matches_xla(grid):
+    """row0/col0/steps (sharded-block geometry) must match the XLA path."""
+    from auvtpu.ops import fill_kriging
+    from auvtpu.pallas import pallas_fill_kriging
+
+    kw = dict(max_radius=5, row0=7, col0=13, steps=(0.021, 0.037))
+    with _interp():
+        a = np.asarray(pallas_fill_kriging(grid, tile=(32, 32), **kw))
+    b = np.asarray(fill_kriging(grid, **kw))
+    assert (np.isnan(a) == np.isnan(b)).all()
+    both = ~np.isnan(a)
+    np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
