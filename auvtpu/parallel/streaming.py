@@ -83,10 +83,10 @@ def _ingest_batch_sharded(elev, valid, obs, n_live, mesh, blk):
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "blk", "win", "method", "k", "max_radius", "steps", "variance"),
+    static_argnames=("mesh", "blk", "meta", "win", "method", "k", "max_radius", "steps", "variance", "backend"),
 )
 def _window_fill_sharded(
-    elev, valid, meta, r0, c0, vparams, *, mesh, blk, win, method, k, max_radius, steps, variance=False
+    elev, valid, meta, r0, c0, vparams, *, mesh, blk, win, method, k, max_radius, steps, variance=False, backend="xla"
 ):
     """Assemble the window crop from the owning band(s), then run the SAME
     fill program the single-device path runs (_fill_window_planes) on the
@@ -121,6 +121,7 @@ def _window_fill_sharded(
     return _fill_window_planes(
         we, wv, meta, r0, c0, vparams,
         method=method, k=k, max_radius=max_radius, steps=steps, variance=variance,
+        backend=backend,
     )
 
 
@@ -215,6 +216,7 @@ class ShardedStreamingInterpolator(StreamingInterpolator):
             mesh=self.mesh, blk=self._blk,
             win=self.window, method=method, k=self.k,
             max_radius=self.max_radius, steps=self._steps, variance=variance,
+            backend=self.backend,
         ), (r0, c0)
 
     def fit_variogram(self, *, max_lag: int = 10, n_bins: int = 10):

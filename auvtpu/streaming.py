@@ -66,35 +66,52 @@ def _ingest_batch(elev, valid, obs, n_live):
     return ev, ok.reshape(valid.shape)
 
 
-def _fill_window_planes(we, wv, meta, r0, c0, vparams, *, method, k, max_radius, steps, variance=False):
+def _fill_window_planes(we, wv, meta, r0, c0, vparams, *, method, k, max_radius, steps, variance=False, backend="xla"):
     """Fill math over an already-cropped (win_h, win_w) window — shared by
     the single-device path (dynamic-slice crop) and the row-band-sharded
     path (psum-assembled crop, parallel.streaming), so both run literally
-    the same program on the cropped planes."""
+    the same program on the cropped planes.
+
+    backend='fused' routes through the fused Pallas kernels (TPU; the
+    sharded path runs them on the replicated crop, outside the shard_map,
+    so single and sharded stay bit-identical to each other)."""
     min_lon, max_lon, min_lat, max_lat = meta
     g = RegularGrid(
         elev=we, valid=wv,
         min_lon=min_lon, max_lon=max_lon, min_lat=min_lat, max_lat=max_lat,
     )
+    if backend == "fused":
+        from .pallas import pallas_fill_idw, pallas_fill_kriging, pallas_fill_mean
     if variance:
         if method != "kriging":
             raise ValueError("variance surfaces are kriging-only")
-        _, var = fill_kriging(
-            g, max_radius=max_radius, vparams=vparams,
-            row0=r0, col0=c0, steps=steps, with_variance=True,
-        )
+        if backend == "fused":
+            _, var = pallas_fill_kriging(
+                g, max_radius=max_radius, vparams=vparams,
+                row0=r0, col0=c0, steps=steps, with_variance=True,
+            )
+        else:
+            _, var = fill_kriging(
+                g, max_radius=max_radius, vparams=vparams,
+                row0=r0, col0=c0, steps=steps, with_variance=True,
+            )
         return jnp.where(wv > 0.5, 0.0, var)
     if method == "idw":
-        plane = fill_idw(g, k=k, max_radius=max_radius)
+        plane = (pallas_fill_idw if backend == "fused" else fill_idw)(
+            g, k=k, max_radius=max_radius
+        )
     elif method == "mean":
-        plane = fill_window_mean(g, k=k, max_radius=max_radius)
+        plane = (pallas_fill_mean if backend == "fused" else fill_window_mean)(
+            g, k=k, max_radius=max_radius
+        )
     elif method == "kriging":
         # the window is a sub-plane of the mosaic: pass the MOSAIC cell
         # steps and the window's global origin so the variogram geometry is
         # in mosaic coordinates (a window grid naively built from the full
         # extent would inflate every distance by (W-1)/(win-1) — the exact
         # sub-plane mechanism fill_kriging's steps=/row0/col0 exists for)
-        plane = fill_kriging(
+        fk = pallas_fill_kriging if backend == "fused" else fill_kriging
+        plane = fk(
             g, max_radius=max_radius, vparams=vparams,
             row0=r0, col0=c0, steps=steps,
         )
@@ -103,8 +120,8 @@ def _fill_window_planes(we, wv, meta, r0, c0, vparams, *, method, k, max_radius,
     return jnp.where(wv > 0.5, we, plane)
 
 
-@partial(jax.jit, static_argnames=("win", "method", "k", "max_radius", "steps", "variance"))
-def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radius, steps, variance=False):
+@partial(jax.jit, static_argnames=("meta", "win", "method", "k", "max_radius", "steps", "variance", "backend"))
+def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radius, steps, variance=False, backend="xla"):
     """Window fill (or, with variance=True, the kriging prediction-variance
     surface with observed cells at 0).  One function so the window geometry
     invariants live in one place."""
@@ -113,6 +130,7 @@ def _window_fill(elev, valid, meta, r0, c0, vparams, *, win, method, k, max_radi
     return _fill_window_planes(
         we, wv, meta, r0, c0, vparams,
         method=method, k=k, max_radius=max_radius, steps=steps, variance=variance,
+        backend=backend,
     )
 
 
@@ -142,6 +160,7 @@ class StreamingInterpolator:
         k: int = 8,
         max_radius: int = 10,
         dtype=jnp.float32,
+        backend: str = "auto",
     ):
         self.elev = jnp.zeros(shape, dtype)
         self.valid = jnp.zeros(shape, dtype)
@@ -155,6 +174,21 @@ class StreamingInterpolator:
         self.method = method
         self.k = k
         self.max_radius = max_radius
+        if backend == "auto":
+            # fused Pallas window fills on the chip (same kernels as the
+            # dense headline path); XLA elsewhere and for f64 mosaics
+            import jax as _jax
+
+            from .pallas import pallas_available
+
+            backend = (
+                "fused"
+                if _jax.default_backend() == "tpu"
+                and jnp.dtype(dtype) == jnp.float32
+                and pallas_available()
+                else "xla"
+            )
+        self.backend = backend
         self._vparams = None  # fitted (nugget, sill, range); None = defaults
         self._meta = (
             float(extent.min_lon), float(extent.max_lon),
@@ -238,6 +272,7 @@ class StreamingInterpolator:
             self._vparams,
             win=self.window, method=method, k=self.k,
             max_radius=self.max_radius, steps=self._steps, variance=variance,
+            backend=self.backend,
         ), (r0, c0)
 
     def window_fill(self, center_row: int, center_col: int):

@@ -190,3 +190,43 @@ def test_window_uncertainty_surface(si):
     assert (vmap_[w_obs] == 0).all()
     gaps = ~w_obs & np.isfinite(vmap_)
     assert gaps.any() and (vmap_[gaps] > 0).all()
+
+
+def test_window_fill_fused_backend_matches_xla():
+    """backend='fused' (Pallas window kernels) must agree with the XLA path
+    for every method and for the variance surface (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from auvtpu.config import Extent
+
+    rng = np.random.RandomState(7)
+    H, W = 64, 96
+    ext = Extent(0.0, float(W - 1), 0.0, float(H - 1))
+    rows = rng.randint(0, H, 500)
+    cols = rng.randint(0, W, 500)
+    vals = rng.normal(-500.0, 30.0, 500).astype(np.float32)
+    for method in ("idw", "mean", "kriging"):
+        a = StreamingInterpolator((H, W), ext, window=(32, 32), method=method,
+                                  backend="xla")
+        b = StreamingInterpolator((H, W), ext, window=(32, 32), method=method,
+                                  backend="fused")
+        for si in (a, b):
+            si.ingest(rows, cols, vals)
+        ta, oa = a.window_fill(H // 2, W // 2)
+        with pltpu.force_tpu_interpret_mode():
+            tb, ob = b.window_fill(H // 2, W // 2)
+            tb = np.asarray(tb)
+        assert oa == ob
+        ta = np.asarray(ta)
+        assert (np.isnan(ta) == np.isnan(tb)).all()
+        m = ~np.isnan(ta)
+        np.testing.assert_allclose(tb[m], ta[m], rtol=1e-4, atol=0.05)
+    # variance surface
+    va, _ = a.window_uncertainty(H // 2, W // 2)
+    with pltpu.force_tpu_interpret_mode():
+        vb, _ = b.window_uncertainty(H // 2, W // 2)
+        vb = np.asarray(vb)
+    va = np.asarray(va)
+    assert (np.isnan(va) == np.isnan(vb)).all()
+    m = ~np.isnan(va)
+    np.testing.assert_allclose(vb[m], va[m], rtol=1e-3, atol=0.05)
