@@ -77,11 +77,57 @@ def _halo_extend(e, v, R: int, axis_name: str, n: int, axis: int = 0):
     )
 
 
+def _resolve_backend(backend: str, dtype) -> str:
+    """'auto' -> fused Pallas kernels on TPU f32 grids, XLA otherwise."""
+    if backend != "auto":
+        return backend
+    from ..pallas import pallas_available
+
+    return (
+        "fused"
+        if jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.float32
+        and pallas_available()
+        else "xla"
+    )
+
+
+def _fill_block(g, method, *, k, power, R, row0=0, col0=0, steps, vparams=None, backend="xla"):
+    """Per-shard dense fill used inside the shard_map bodies — one switch so
+    every sharded path offers the same xla/fused backends as the
+    single-device ops (the fused kernels run per device block; idw/mean are
+    geometry-free, kriging threads the block origin + global steps)."""
+    if backend == "fused":
+        from ..pallas import pallas_fill_idw, pallas_fill_kriging, pallas_fill_mean
+
+        if method == "idw":
+            return pallas_fill_idw(g, k=k, power=power, max_radius=R)
+        if method == "window_mean":
+            return pallas_fill_mean(g, k=k, max_radius=R)
+        if method == "kriging":
+            return pallas_fill_kriging(
+                g, max_radius=R, row0=row0, col0=col0, steps=steps, vparams=vparams
+            )
+        raise ValueError(method)
+    if method == "idw":
+        return dense_ops.fill_idw(g, k=k, power=power, max_radius=R)
+    if method == "window_mean":
+        return dense_ops.fill_window_mean(g, k=k, max_radius=R)
+    if method == "kriging":
+        return dense_ops.fill_kriging(
+            g, max_radius=R, row0=row0, col0=col0, steps=steps, vparams=vparams
+        )
+    # 'bilinear' intentionally unsupported: its far-edge semantics are
+    # clamp-*duplicate* (GridH.cpp:170-173), which a zero-validity halo
+    # cannot represent; and at <1 us/plane it has nothing to gain
+    raise ValueError(method)
+
+
 @partial(
     jax.jit,
-    static_argnames=("mesh", "method", "k", "power", "max_radius", "n_rows", "meta"),
+    static_argnames=("mesh", "method", "k", "power", "max_radius", "n_rows", "meta", "backend"),
 )
-def _sharded_fill_impl(elev, valid, mesh, method, k, power, max_radius, n_rows, meta):
+def _sharded_fill_impl(elev, valid, mesh, method, k, power, max_radius, n_rows, meta, backend="xla"):
     n = len(mesh.devices.flat)
     R = max_radius
     min_lon, max_lon, min_lat, max_lat, lat_step, lon_step = meta
@@ -99,20 +145,10 @@ def _sharded_fill_impl(elev, valid, mesh, method, k, power, max_radius, n_rows, 
             min_lat=min_lat,
             max_lat=max_lat,
         )
-        if method == "idw":
-            out = dense_ops.fill_idw(g, k=k, power=power, max_radius=R)
-        elif method == "window_mean":
-            out = dense_ops.fill_window_mean(g, k=k, max_radius=R)
-        elif method == "kriging":
-            row0 = idx * blk - R
-            out = dense_ops.fill_kriging(
-                g, max_radius=R, row0=row0, steps=(lat_step, lon_step)
-            )
-        else:
-            # 'bilinear' intentionally unsupported: its far-edge semantics are
-            # clamp-*duplicate* (GridH.cpp:170-173), which a zero-validity
-            # halo cannot represent; and at <1 us/plane it has nothing to gain
-            raise ValueError(method)
+        out = _fill_block(
+            g, method, k=k, power=power, R=R, row0=idx * blk - R,
+            steps=(lat_step, lon_step), backend=backend,
+        )
         return out[R : R + blk]
 
     fn = shard_map(
@@ -120,15 +156,17 @@ def _sharded_fill_impl(elev, valid, mesh, method, k, power, max_radius, n_rows, 
         mesh=mesh,
         in_specs=(P("dp", None), P("dp", None)),
         out_specs=P("dp", None),
+        # pallas_call outputs carry no varying-mesh-axes info yet
+        check_vma=(backend != "fused"),
     )
     return fn(elev, valid)[:n_rows]
 
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "method", "k", "power", "max_radius", "n_rows", "n_cols", "meta"),
+    static_argnames=("mesh", "method", "k", "power", "max_radius", "n_rows", "n_cols", "meta", "backend"),
 )
-def _sharded_fill2d_impl(elev, valid, mesh, method, k, power, max_radius, n_rows, n_cols, meta):
+def _sharded_fill2d_impl(elev, valid, mesh, method, k, power, max_radius, n_rows, n_cols, meta, backend="xla"):
     ny, nx = mesh.devices.shape
     R = max_radius
     min_lon, max_lon, min_lat, max_lat, lat_step, lon_step = meta
@@ -146,18 +184,11 @@ def _sharded_fill2d_impl(elev, valid, mesh, method, k, power, max_radius, n_rows
             elev=big_e, valid=big_v,
             min_lon=min_lon, max_lon=max_lon, min_lat=min_lat, max_lat=max_lat,
         )
-        if method == "idw":
-            out = dense_ops.fill_idw(g, k=k, power=power, max_radius=R)
-        elif method == "window_mean":
-            out = dense_ops.fill_window_mean(g, k=k, max_radius=R)
-        elif method == "kriging":
-            out = dense_ops.fill_kriging(
-                g, max_radius=R,
-                row0=iy * blk_r - R, col0=ix * blk_c - R,
-                steps=(lat_step, lon_step),
-            )
-        else:
-            raise ValueError(method)
+        out = _fill_block(
+            g, method, k=k, power=power, R=R,
+            row0=iy * blk_r - R, col0=ix * blk_c - R,
+            steps=(lat_step, lon_step), backend=backend,
+        )
         return out[R : R + blk_r, R : R + blk_c]
 
     fn = shard_map(
@@ -165,15 +196,16 @@ def _sharded_fill2d_impl(elev, valid, mesh, method, k, power, max_radius, n_rows
         mesh=mesh,
         in_specs=(P("dy", "dx"), P("dy", "dx")),
         out_specs=P("dy", "dx"),
+        check_vma=(backend != "fused"),
     )
     return fn(elev, valid)[:n_rows, :n_cols]
 
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "max_radius", "max_lag", "n_bins", "n_rows", "meta"),
+    static_argnames=("mesh", "max_radius", "max_lag", "n_bins", "n_rows", "meta", "backend"),
 )
-def _sharded_fit_fill_impl(elev, valid, mesh, max_radius, max_lag, n_bins, n_rows, meta):
+def _sharded_fit_fill_impl(elev, valid, mesh, max_radius, max_lag, n_bins, n_rows, meta, backend="xla"):
     from ..variogram import fit_exponential, pair_sums, _bin_table
 
     n = len(mesh.devices.flat)
@@ -205,10 +237,9 @@ def _sharded_fit_fill_impl(elev, valid, mesh, max_radius, max_lag, n_bins, n_row
             elev=big_e, valid=big_v,
             min_lon=min_lon, max_lon=max_lon, min_lat=min_lat, max_lat=max_lat,
         )
-        row0 = idx * blk - R
-        out = dense_ops.fill_kriging(
-            g, max_radius=max_radius, row0=row0, steps=(lat_step, lon_step),
-            vparams=vparams,
+        out = _fill_block(
+            g, "kriging", k=4, power=2.0, R=max_radius, row0=idx * blk - R,
+            steps=(lat_step, lon_step), vparams=vparams, backend=backend,
         )
         return out[R : R + blk], vparams
 
@@ -217,6 +248,7 @@ def _sharded_fit_fill_impl(elev, valid, mesh, max_radius, max_lag, n_bins, n_row
         mesh=mesh,
         in_specs=(P("dp", None), P("dp", None)),
         out_specs=(P("dp", None), P()),
+        check_vma=(backend != "fused"),
     )
     plane, vparams = fn(elev, valid)
     return plane[:n_rows], vparams
@@ -229,6 +261,7 @@ def sharded_fit_fill(
     max_radius: int = 10,
     max_lag: int = 10,
     n_bins: int = 10,
+    backend: str = "auto",
 ):
     """Full distributed 'training step': fit the exponential variogram from
     the observed cells (pair sums psum'd over the mesh) and krige-fill the
@@ -246,7 +279,10 @@ def sharded_fit_fill(
     valid = jax.device_put(valid, sh)
     meta = (grid.min_lon, grid.max_lon, grid.min_lat, grid.max_lat,
             grid.lat_step, grid.lon_step)
-    return _sharded_fit_fill_impl(elev, valid, mesh, max_radius, max_lag, n_bins, H, meta)
+    return _sharded_fit_fill_impl(
+        elev, valid, mesh, max_radius, max_lag, n_bins, H, meta,
+        backend=_resolve_backend(backend, grid.dtype),
+    )
 
 
 def sharded_fill(
@@ -257,6 +293,7 @@ def sharded_fill(
     k: int = 8,
     power: float = 2.0,
     max_radius: int = 10,
+    backend: str = "auto",
 ):
     """Dense fill of a row-band-sharded grid; returns the (H, W) plane.
 
@@ -284,7 +321,8 @@ def sharded_fill(
         grid.lon_step,
     )
     return _sharded_fill_impl(
-        elev, valid, mesh, method, k, power, max_radius, H, meta
+        elev, valid, mesh, method, k, power, max_radius, H, meta,
+        backend=_resolve_backend(backend, grid.dtype),
     )
 
 
@@ -296,6 +334,7 @@ def sharded_fill2d(
     k: int = 8,
     power: float = 2.0,
     max_radius: int = 10,
+    backend: str = "auto",
 ):
     """Dense fill over a 2-D (dy, dx) block-sharded grid; returns the (H, W)
     plane.  Blocks exchange row halos, then column halos of the row-extended
@@ -327,5 +366,6 @@ def sharded_fill2d(
         grid.lon_step,
     )
     return _sharded_fill2d_impl(
-        elev, valid, mesh, method, k, power, max_radius, H, W, meta
+        elev, valid, mesh, method, k, power, max_radius, H, W, meta,
+        backend=_resolve_backend(backend, grid.dtype),
     )

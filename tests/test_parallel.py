@@ -13,7 +13,7 @@ from auvtpu.config import Extent
 from auvtpu.grid import RegularGrid
 from auvtpu.masking import mask_grid
 from auvtpu.ops import fill_idw, fill_kriging, fill_window_mean, scattered_idw
-from auvtpu.parallel import make_mesh, make_mesh2d, shard_queries, sharded_fill, sharded_fill2d
+from auvtpu.parallel import make_mesh, make_mesh2d, shard_queries, sharded_fill, sharded_fill2d, sharded_fit_fill
 from auvtpu.synthetic import shelf_seamount
 
 H, W = 96, 64
@@ -126,3 +126,35 @@ def test_sharded_fill2d_small_blocks_and_pad():
     assert (np.isnan(got) == np.isnan(want)).all()
     both = ~np.isnan(got)
     np.testing.assert_allclose(got[both], want[both], rtol=2e-5, atol=2e-3)
+
+
+@pytest.mark.parametrize("method", ["idw", "window_mean", "kriging"])
+def test_sharded_fill_fused_backend_matches_xla(masked_grid, method):
+    """backend='fused' (per-block Pallas kernels inside shard_map) must agree
+    with the XLA backend (interpret mode on the virtual mesh)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    mesh = make_mesh()
+    want = np.asarray(sharded_fill(mesh, masked_grid, method, max_radius=5,
+                                   backend="xla"))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sharded_fill(mesh, masked_grid, method, max_radius=5,
+                                      backend="fused"))
+    assert (np.isnan(got) == np.isnan(want)).all()
+    m = ~np.isnan(want)
+    np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=0.05)
+
+
+def test_sharded_fit_fill_fused_backend_matches_xla(masked_grid):
+    from jax.experimental.pallas import tpu as pltpu
+
+    mesh = make_mesh()
+    want, vp_x = sharded_fit_fill(mesh, masked_grid, max_radius=5, backend="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got, vp_f = sharded_fit_fill(mesh, masked_grid, max_radius=5,
+                                     backend="fused")
+    np.testing.assert_allclose(np.asarray(vp_f), np.asarray(vp_x), rtol=1e-6)
+    got, want = np.asarray(got), np.asarray(want)
+    assert (np.isnan(got) == np.isnan(want)).all()
+    m = ~np.isnan(want)
+    np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=0.05)
