@@ -13,6 +13,7 @@ bicubic / ordinary-kriging interpolation for AUV deep-sea mapping):
 - :mod:`auvtpu.io`        — GEBCO netCDF + reference-schema CSVs
 - :mod:`auvtpu.parallel`  — mesh/sharding (query DP, spatial grid sharding)
 - :mod:`auvtpu.scattered` — scattered-data -> grid pipelines (MXU kNN)
+- :mod:`auvtpu.learned`   — learned inpainting baseline (flax CNN, MXU convs)
 - :mod:`auvtpu.cli`       — benchmark/demo entry points (the 4 executables)
 """
 
