@@ -187,11 +187,39 @@ def make_training_batch(rng: np.random.RandomState, *, n: int = 8, tile: int = 6
     )
 
 
-def train(steps: int = 200, *, width: int = 32, depth: int = 4, tile: int = 64, batch: int = 8, lr: float = 3e-3, seed: int = 0, log_every: int = 0, log=print):
-    """Train the inpainter on synthetic tiles; returns (params, loss_history).
+def make_crop_batch(rng: np.random.RandomState, elev_plane, valid_plane, *, n: int = 8, tile: int = 64, hide=(0.05, 0.3)):
+    """Self-supervised batch from a REAL reduced tile: random crops with a
+    further fraction of the observed cells hidden as training targets — the
+    same train-on-what-you-have protocol the Grid B harness scores with."""
+    H, W = elev_plane.shape
+    elevs, valids, targets, tmasks = [], [], [], []
+    for _ in range(n):
+        r = rng.randint(0, H - tile + 1)
+        c = rng.randint(0, W - tile + 1)
+        e = elev_plane[r : r + tile, c : c + tile]
+        v = valid_plane[r : r + tile, c : c + tile]
+        frac = float(rng.uniform(*hide))
+        hidem = (rng.rand(tile, tile) < frac) & (v > 0.5)
+        valids.append((v > 0.5) & ~hidem)
+        elevs.append(np.where(hidem, 0.0, e))
+        targets.append(e)
+        tmasks.append(hidem)
+    return (
+        np.stack(elevs).astype(np.float32),
+        np.stack(valids).astype(np.float32),
+        np.stack(targets).astype(np.float32),
+        np.stack(tmasks).astype(np.float32),
+    )
 
-    Tiny by default (CPU-testable); pass bigger width/depth/tile/steps on the
-    chip.  Normalization makes the weights transfer across depth scales."""
+
+def train(steps: int = 200, *, width: int = 32, depth: int = 4, tile: int = 64, batch: int = 8, lr: float = 3e-3, seed: int = 0, log_every: int = 0, log=print, batch_fn=None):
+    """Train the inpainter; returns (params, loss_history).
+
+    Default batches are synthetic tiles (make_training_batch); pass
+    batch_fn(rng) -> (elev, valid, target, tmask) to train on real data
+    (see make_crop_batch).  Tiny by default (CPU-testable); pass bigger
+    width/depth/tile/steps on the chip.  Normalization makes the weights
+    transfer across depth scales."""
     if not _LEARNED_AVAILABLE:  # pragma: no cover
         raise RuntimeError("flax/optax unavailable")
     from .config import Extent
@@ -203,7 +231,10 @@ def train(steps: int = 200, *, width: int = 32, depth: int = 4, tile: int = 64, 
     hist = []
     ext = Extent(0.0, float(tile - 1), 0.0, float(tile - 1))
     for s in range(steps):
-        elev, valid, target, tmask = make_training_batch(rng, n=batch, tile=tile)
+        if batch_fn is not None:
+            elev, valid, target, tmask = batch_fn(rng)
+        else:
+            elev, valid, target, tmask = make_training_batch(rng, n=batch, tile=tile)
         mf = jax.vmap(
             lambda e, v: fill_window_mean(
                 RegularGrid(elev=e, valid=v, min_lon=ext.min_lon, max_lon=ext.max_lon,

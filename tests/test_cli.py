@@ -269,3 +269,20 @@ def test_fig_variogram_models(tmp_path):
     out = str(tmp_path / "zoo.png")
     assert fig_variogram_models(csv, out) is True
     assert os.path.exists(out)
+
+
+def test_learned_eval_cli_synthetic(tmp_path):
+    pytest.importorskip("flax")
+    from auvtpu.cli.learned_eval import main
+
+    results = str(tmp_path / "res.csv")
+    main([
+        "--synthetic", "48", "64", "--removal", "0.1", "--steps", "8",
+        "--width", "8", "--depth", "1", "--tile", "24", "--batch", "2",
+        "--results", results,
+    ])
+    df = pd.read_csv(results)
+    assert len(df) == 1
+    assert df["InterpolationType"].iloc[0] == "Learned"
+    assert np.isfinite(df["RMSE"].iloc[0])
+    assert df["Region"].iloc[0] == "synthetic48x64"
