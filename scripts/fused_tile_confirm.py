@@ -20,12 +20,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CANDIDATES = (
-    ((32, 128), "lu"),   # current default
-    ((32, 128), "gj"),
-    ((32, 256), "lu"),
-    ((64, 128), "lu"),
-    ((64, 128), "gj"),
-    ((64, 256), "gj"),
+    # (tile, solver, prefetch-depth); depth matters more post-peel (chunk-0
+    # compute shrank, so the DMA ring may need to run deeper to stay hidden)
+    ((32, 128), "lu", 2),   # current default
+    ((32, 128), "gj", 2),
+    ((32, 128), "lu", 3),
+    ((32, 256), "lu", 2),
+    ((64, 128), "lu", 2),
+    ((64, 128), "gj", 2),
+    ((64, 128), "lu", 3),
+    ((64, 256), "gj", 2),
 )
 ROUNDS = 5
 
@@ -53,33 +57,38 @@ def main():
 
     # compile + parity check everything up front so timing rounds are pure
     ref = None
-    for tile, solver in CANDIDATES:
-        out = np.asarray(pallas_fill_kriging(grid, tile=tile, solver=solver))
+    for tile, solver, pf in CANDIDATES:
+        out = np.asarray(
+            pallas_fill_kriging(grid, tile=tile, solver=solver, prefetch=pf)
+        )
         if ref is None:
             ref = out
         else:
             assert (np.isnan(ref) == np.isnan(out)).all(), "NaN mask mismatch"
             both = ~np.isnan(ref)
             par = float(np.abs(ref[both] - out[both]).max())
-            print(f"tile={tile} solver={solver} parity vs first: {par:.2e}", flush=True)
+            print(
+                f"tile={tile} solver={solver} pf={pf} parity vs first: {par:.2e}",
+                flush=True,
+            )
 
     times = {c: [] for c in CANDIDATES}
     for r in range(ROUNDS):
-        for tile, solver in CANDIDATES:
+        for tile, solver, pf in CANDIDATES:
             ms = steady_state_ms(
-                lambda tile=tile, solver=solver: pallas_fill_kriging(
-                    grid, tile=tile, solver=solver
+                lambda tile=tile, solver=solver, pf=pf: pallas_fill_kriging(
+                    grid, tile=tile, solver=solver, prefetch=pf
                 ),
                 iters=15, warmup=1,
             )
-            times[(tile, solver)].append(ms)
+            times[(tile, solver, pf)].append(ms)
         print(f"round {r} done", flush=True)
 
-    print(f"{'config':28s} {'median':>8s} {'min':>8s} {'max':>8s}   M pts/s", flush=True)
+    print(f"{'config':34s} {'median':>8s} {'min':>8s} {'max':>8s}   M pts/s", flush=True)
     for c, ts in sorted(times.items(), key=lambda kv: float(np.median(kv[1]))):
         med = float(np.median(ts))
         print(
-            f"tile={c[0]} solver={c[1]:4s} {med:8.2f} {min(ts):8.2f} {max(ts):8.2f}"
+            f"tile={c[0]} solver={c[1]:4s} pf={c[2]} {med:8.2f} {min(ts):8.2f} {max(ts):8.2f}"
             f"   {n/med/1e3:8.1f}",
             flush=True,
         )
