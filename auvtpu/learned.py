@@ -251,3 +251,35 @@ def train(steps: int = 200, *, width: int = 32, depth: int = 4, tile: int = 64, 
         if log_every and (s % log_every == 0):
             log(f"step {s}: masked-cell MSE {hist[-1]:.4f}")
     return params, hist
+
+
+# --------------------------------------------------------------------------
+# parameter checkpointing (npz — same no-deps policy as streaming.save)
+# --------------------------------------------------------------------------
+
+def save_params(path: str, params, *, width: int, depth: int) -> None:
+    """Flat-key npz checkpoint of the inpainter parameters + architecture
+    (so load_params can rebuild without out-of-band config)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrs = {"/".join(str(getattr(k, "key", k)) for k in kp): np.asarray(v)
+            for kp, v in flat}
+    arrs["__width__"] = np.asarray(width)
+    arrs["__depth__"] = np.asarray(depth)
+    np.savez_compressed(path, **arrs)
+
+
+def load_params(path: str):
+    """Returns (params, width, depth) from a save_params checkpoint."""
+    d = np.load(path)
+    width = int(d["__width__"])
+    depth = int(d["__depth__"])
+    tree = init_params(jax.random.PRNGKey(0), width=width, depth=depth, tile=8)
+    flat = jax.tree_util.tree_flatten_with_path(tree)
+    leaves = []
+    for kp, v in flat[0]:
+        key = "/".join(str(getattr(k, "key", k)) for k in kp)
+        got = d[key]
+        assert got.shape == v.shape, (key, got.shape, v.shape)
+        leaves.append(jnp.asarray(got))
+    params = jax.tree_util.tree_unflatten(flat[1], leaves)
+    return params, width, depth

@@ -60,3 +60,15 @@ def test_observed_cells_pass_through(eval_grid):
     out = np.asarray(learned.fill_learned(g, params, width=W_, depth=D_))
     v = np.asarray(g.valid) > 0.5
     assert np.array_equal(out[v], np.asarray(g.elev)[v])
+
+
+def test_params_checkpoint_roundtrip(tmp_path, eval_grid):
+    g, _, _ = eval_grid
+    params = learned.init_params(jax.random.PRNGKey(5), width=W_, depth=D_, tile=32)
+    path = str(tmp_path / "ckpt.npz")
+    learned.save_params(path, params, width=W_, depth=D_)
+    params2, w, d = learned.load_params(path)
+    assert (w, d) == (W_, D_)
+    a = np.asarray(learned.fill_learned(g, params, width=W_, depth=D_))
+    b = np.asarray(learned.fill_learned(g, params2, width=w, depth=d))
+    assert np.array_equal(a, b, equal_nan=True)
