@@ -431,7 +431,19 @@ def fill_kriging(grid: RegularGrid, *, max_radius: int = 10, row0=0, col0=0, ste
     row0/col0/steps support spatially-sharded execution: when the plane is a
     block of a larger grid, pass the block's global starting row/col and the
     global (lat_step, lon_step) so the variogram geometry stays correct.
+
+    backend: 'xla' (whole-plane loops), 'pallas' (Pallas selection front-end
+    + XLA solve), or 'fused' (the fully-fused Pallas kernel — selection AND
+    solve in VMEM; supports every argument including with_variance).
     """
+    if backend == "fused":
+        from ..pallas import pallas_fill_kriging
+
+        return pallas_fill_kriging(
+            grid, max_radius=max_radius, convention=convention, vparams=vparams,
+            model=model, with_variance=with_variance,
+            row0=row0, col0=col0, steps=steps,
+        )
     H, W = grid.shape
     dt = grid.dtype
     if backend == "pallas":
