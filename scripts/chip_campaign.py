@@ -99,6 +99,19 @@ def main():
             "--results", args.results_b,
         ])
 
+    # learned-baseline row: self-supervised masked-conv inpainter on the
+    # Mid-Atlantic tile (auvtpu.learned; no reference counterpart)
+    if not args.quick:
+        try:
+            from auvtpu.cli import learned_eval
+
+            learned_eval.main([
+                "--region", "mid_atlantic", "--removal", "0.01",
+                "--results", args.results_b,
+            ])
+        except Exception as e:  # flax missing or OOM must not junk the rest
+            print(f"learned row skipped: {type(e).__name__}: {e}", flush=True)
+
     figures.main(["--grid-a", args.results_a, "--grid-b", args.results_b])
     print("campaign done", flush=True)
 
