@@ -15,7 +15,7 @@ TPU-native equivalents here:
 
 from .mesh import make_mesh, make_mesh2d, replicated, shard_queries
 from .spatial import sharded_fill, sharded_fill2d, sharded_fit_fill
-from .streaming import ShardedStreamingInterpolator
+from .streaming import ShardedStreamingInterpolator, ShardedStreamingInterpolator2D
 
 __all__ = [
     "make_mesh",
@@ -26,4 +26,5 @@ __all__ = [
     "sharded_fill2d",
     "sharded_fit_fill",
     "ShardedStreamingInterpolator",
+    "ShardedStreamingInterpolator2D",
 ]

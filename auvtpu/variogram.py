@@ -414,3 +414,41 @@ def fit_variogram(grid: RegularGrid, *, max_lag: int = 10, n_bins: int = 10, ite
     lags, gamma, counts = empirical_variogram(grid, max_lag=max_lag, n_bins=n_bins)
     step = 0.5 * (abs(grid.lat_step) + abs(grid.lon_step))
     return fit_exponential(lags * step, gamma, counts, iters=iters)
+
+
+def pair_sums_2d(elev, valid, n_base_rows: int, n_base_cols: int, *, max_lag: int = 10, n_bins: int = 10):
+    """pair_sums for a 2-D block of a larger grid.
+
+    The half-plane offsets have dy >= 0 but dx in [-max_lag, max_lag], so a
+    block that does NOT own full rows needs column halos on BOTH sides (the
+    1-D row-band case gets away with zero column padding only because its
+    left/right edges are true global edges).  Expected layout::
+
+        elev/valid: (n_base_rows + max_lag, n_base_cols + 2*max_lag)
+        base cells: [:n_base_rows, max_lag : max_lag + n_base_cols]
+
+    with the bottom strip (and bottom-right/bottom-left corners) supplied by
+    the neighbors' halos; pairs are still counted exactly once globally (the
+    block owning the pair's FIRST point counts it).
+    """
+    dys, dxs, bin_of, _ = _bin_table(max_lag, n_bins)
+    H, Wb, R = n_base_rows, n_base_cols, max_lag
+    base_e = elev[:H, R : R + Wb]
+    base_v = valid[:H, R : R + Wb]
+
+    def body(carry, xs):
+        s, c = carry
+        dy, dx, b = xs
+        zv = jax.lax.dynamic_slice(elev, (dy, R + dx), (H, Wb))
+        mv = jax.lax.dynamic_slice(valid, (dy, R + dx), (H, Wb))
+        both = base_v * mv
+        d = (base_e - zv) * both
+        s = s.at[b].add(jnp.sum(d * d))
+        c = c.at[b].add(jnp.sum(both))
+        return (s, c), None
+
+    zero = jnp.broadcast_to(base_v[0, 0] * 0, (n_bins,)).astype(elev.dtype)
+    (s, c), _ = jax.lax.scan(
+        body, (zero, zero), (jnp.asarray(dys), jnp.asarray(dxs), jnp.asarray(bin_of))
+    )
+    return s, c
