@@ -89,13 +89,29 @@ def main(argv=None):
         "bit.  Needs N visible devices (e.g. JAX_PLATFORMS=cpu XLA_FLAGS="
         "--xla_force_host_platform_device_count=N for a virtual mesh)",
     )
+    p.add_argument(
+        "--shard2d", type=int, nargs=2, default=None, metavar=("NY", "NX"),
+        help="run the mosaic 2-D block-sharded over an (NY, NX) mesh "
+        "(parallel.streaming.ShardedStreamingInterpolator2D) — for mosaics "
+        "too WIDE for row bands; same results bit for bit",
+    )
     args = p.parse_args(argv)
 
     H, W = args.mosaic
     rng = np.random.default_rng(args.seed)
     truth = shelf_seamount(H, W)
     ext = Extent(0.0, float(W - 1), 0.0, float(H - 1))
-    if args.shard > 1:
+    if args.shard2d is not None:
+        from ..parallel import ShardedStreamingInterpolator2D, make_mesh2d
+
+        ny, nx = args.shard2d
+        si = ShardedStreamingInterpolator2D(
+            (H, W), ext, make_mesh2d((ny, nx)),
+            window=(args.window, args.window), method=args.method,
+            max_radius=5,
+        )
+        log(f"mosaic 2-D block-sharded over a ({ny}, {nx}) mesh")
+    elif args.shard > 1:
         from ..parallel import ShardedStreamingInterpolator, make_mesh
 
         si = ShardedStreamingInterpolator(

@@ -234,6 +234,13 @@ def test_stream_demo_cli(tmp_path):
     ])
     assert rmse_s == rmse
 
+    # --shard2d 4 2: the 2-D block-sharded mosaic likewise
+    rmse_s2, _ = main([
+        "--mosaic", "192", "192", "--steps", "40", "--beams", "96",
+        "--fill-every", "20", "--window", "96", "--shard2d", "4", "2",
+    ])
+    assert rmse_s2 == rmse
+
 
 def test_prototype_cli(capsys, tmp_path):
     from auvtpu.cli.prototype import main
