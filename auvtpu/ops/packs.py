@@ -349,8 +349,12 @@ def packed_window_select(pack, grid: RegularGrid, lons, lats, *, k, window_radiu
     )
 
 
-def kriging_from_select(grid: RegularGrid, lons, lats, sel, *, vparams=None, convention: str = "reference", model: str = "exponential"):
-    """Kriging solve + fallbacks from a window-select dict (shared)."""
+def kriging_from_select(grid: RegularGrid, lons, lats, sel, *, vparams=None, convention: str = "reference", model: str = "exponential", with_variance: bool = False):
+    """Kriging solve + fallbacks from a window-select dict (shared).
+
+    with_variance=True also returns the ordinary-kriging prediction variance
+    (NaN at fallback/out-of-bounds queries) — the scattered-serving twin of
+    fill_kriging(with_variance=True)."""
     from ..config import KrigingConfig
     from .scattered import krige_solve
     from .window import masked_mean
@@ -361,13 +365,18 @@ def kriging_from_select(grid: RegularGrid, lons, lats, sel, *, vparams=None, con
     lat_step = jnp.asarray(grid.lat_step, dt)
     cx = grid.min_lon + (sel["ci"][:, None].astype(dt) + sel["dx"] + half) * lon_step
     cy = grid.min_lat + (sel["cj"][:, None].astype(dt) + sel["dy"] + half) * lat_step
-    pred, singular = krige_solve(
+    out = krige_solve(
         jnp.asarray(lons, dt), jnp.asarray(lats, dt), sel["val"], cx, cy,
-        KrigingConfig(), vparams=vparams, model=model,
+        KrigingConfig(), vparams=vparams, model=model, with_variance=with_variance,
     )
+    pred, singular = out[0], out[1]
     fb = masked_mean(jnp.where(sel["slot_ok"], sel["val"], jnp.nan), sel["slot_ok"])
-    out = jnp.where(singular | (sel["found"] < 4), fb, pred)
-    return jnp.where(sel["oob"], jnp.nan, out)
+    bail = singular | (sel["found"] < 4)
+    res = jnp.where(sel["oob"], jnp.nan, jnp.where(bail, fb, pred))
+    if not with_variance:
+        return res
+    var = jnp.where(sel["oob"] | bail, jnp.nan, out[2])
+    return res, var
 
 
 def idw_from_select(sel, *, power: float = 2.0, eps: float = 1e-12):
@@ -378,10 +387,10 @@ def idw_from_select(sel, *, power: float = 2.0, eps: float = 1e-12):
     return jnp.where(sel["oob"], jnp.nan, out)
 
 
-@partial(jax.jit, static_argnames=("window_radius", "convention", "model"))
-def packed_kriging(pack, grid: RegularGrid, lons, lats, *, window_radius: int = 2, vparams=None, convention: str = "reference", model: str = "exponential"):
+@partial(jax.jit, static_argnames=("window_radius", "convention", "model", "with_variance"))
+def packed_kriging(pack, grid: RegularGrid, lons, lats, *, window_radius: int = 2, vparams=None, convention: str = "reference", model: str = "exponential", with_variance: bool = False):
     sel = packed_window_select(pack, grid, lons, lats, k=4, window_radius=window_radius, convention=convention)
-    return kriging_from_select(grid, lons, lats, sel, vparams=vparams, convention=convention, model=model)
+    return kriging_from_select(grid, lons, lats, sel, vparams=vparams, convention=convention, model=model, with_variance=with_variance)
 
 
 @partial(jax.jit, static_argnames=("k", "power", "window_radius", "convention"))

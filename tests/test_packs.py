@@ -342,3 +342,29 @@ def test_packed_kriging_valid_rejects_centered():
     p16 = build_valid16_pack(grid)
     with pytest.raises(ValueError):
         packed_kriging_valid(p16, grid, *_queries(8), convention="centered")
+
+
+def test_packed_kriging_variance_matches_dense():
+    """Scattered-serving kriging variance at masked cell centers equals the
+    dense fill's variance plane (same radius-2 selection semantics)."""
+    from auvtpu.ops import fill_kriging
+
+    grid = _mk(True)
+    sp = StencilPack(grid, window_radius=2)
+    gv = np.asarray(grid.valid) > 0.5
+    rows, cols = np.where(~gv)
+    rows, cols = rows[:300], cols[:300]
+    lons = grid.min_lon + cols * grid.lon_step
+    lats = grid.min_lat + rows * grid.lat_step
+    pred, var = packed_kriging(
+        sp.window, grid, lons, lats, window_radius=2, with_variance=True
+    )
+    pred, var = np.asarray(pred), np.asarray(var)
+    dp, dv = fill_kriging(grid, max_radius=2, with_variance=True)
+    dp = np.asarray(dp)[rows, cols]
+    dv = np.asarray(dv)[rows, cols]
+    assert (np.isnan(var) == np.isnan(dv)).all()
+    m = ~np.isnan(var)
+    assert (var[m] >= 0).all()
+    np.testing.assert_allclose(var[m], dv[m], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(pred[m], dp[m], rtol=1e-4, atol=1e-2)
