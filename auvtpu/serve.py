@@ -1,0 +1,83 @@
+"""Ahead-of-time export for production serving.
+
+The reference ships compiled binaries (`edge_app`, `test_*`) that embed their
+kernels; the TPU-native equivalent is a *serialized StableHLO artifact*
+(jax.export): trace + lower the jitted program once, write the portable
+artifact, and serve it later without retracing Python — across processes and
+jax minor versions, on any backend that can compile StableHLO.
+
+Typical flow::
+
+    spec = export_fill("exported.bin", (2053, 2441), method="kriging")
+    ...
+    srv = load_exported("exported.bin")
+    plane = srv(elev, valid)      # elev/valid (H, W) f32, NaN-free + mask
+
+Shapes are static (XLA's compilation model — SURVEY.md §7); export one
+artifact per tile geometry.  The artifact stores the *lowered* program, so
+the Python-side fill implementation (and its compile cost) is out of the
+serving path entirely.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jexport
+
+from .grid import RegularGrid
+
+
+def _fill_fn(shape, extent, method, max_radius, vparams, convention, backend):
+    from .ops import fill_idw, fill_kriging, fill_window_mean
+
+    min_lon, max_lon, min_lat, max_lat = extent
+
+    def fill(elev, valid):
+        g = RegularGrid(
+            elev=elev, valid=valid,
+            min_lon=min_lon, max_lon=max_lon, min_lat=min_lat, max_lat=max_lat,
+        )
+        if method == "kriging":
+            return fill_kriging(
+                g, max_radius=max_radius, vparams=vparams, convention=convention,
+                backend=backend,
+            )
+        if method == "idw":
+            return fill_idw(g, max_radius=max_radius, convention=convention)
+        if method == "window_mean":
+            return fill_window_mean(g, max_radius=max_radius, convention=convention)
+        raise ValueError(method)
+
+    return fill
+
+
+def export_fill(path: str, shape, *, extent=(0.0, 1.0, 0.0, 1.0), method: str = "kriging", max_radius: int = 10, vparams=None, convention: str = "reference", backend: str = "xla", platforms=None):
+    """Serialize the jitted dense fill for a fixed grid geometry to ``path``.
+
+    platforms: lowering targets (default: the current backend only); pass
+    e.g. ("tpu", "cpu") to produce one artifact servable on both.
+    Returns the byte size written."""
+    fill = _fill_fn(tuple(shape), tuple(extent), method, max_radius, vparams, convention, backend)
+    spec = jax.ShapeDtypeStruct(tuple(shape), jnp.float32)
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    exp = jexport.export(jax.jit(fill), **kw)(spec, spec)
+    blob = exp.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_exported(path: str):
+    """Deserialize an export_fill artifact into a callable
+    ``fill(elev, valid) -> plane`` (compiled on first call)."""
+    with open(path, "rb") as f:
+        exp = jexport.deserialize(f.read())
+
+    def fill(elev, valid):
+        return exp.call(jnp.asarray(elev, jnp.float32), jnp.asarray(valid, jnp.float32))
+
+    return fill
