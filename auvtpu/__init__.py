@@ -14,6 +14,7 @@ bicubic / ordinary-kriging interpolation for AUV deep-sea mapping):
 - :mod:`auvtpu.parallel`  — mesh/sharding (query DP, spatial grid sharding)
 - :mod:`auvtpu.scattered` — scattered-data -> grid pipelines (MXU kNN)
 - :mod:`auvtpu.learned`   — learned inpainting baseline (flax CNN, MXU convs)
+- :mod:`auvtpu.serve`     — AOT export/serving (StableHLO artifacts, jax.export)
 - :mod:`auvtpu.cli`       — benchmark/demo entry points (the 4 executables)
 """
 

@@ -81,3 +81,71 @@ def load_exported(path: str):
         return exp.call(jnp.asarray(elev, jnp.float32), jnp.asarray(valid, jnp.float32))
 
     return fill
+
+
+def _scattered_fn(shape, extent, method, window_radius, vparams, convention, k, power):
+    from .ops.packs import packed_idw, packed_kriging
+
+    min_lon, max_lon, min_lat, max_lat = extent
+
+    def run(pack, elev, valid, lons, lats):
+        g = RegularGrid(
+            elev=elev, valid=valid,
+            min_lon=min_lon, max_lon=max_lon, min_lat=min_lat, max_lat=max_lat,
+        )
+        if method == "kriging":
+            return packed_kriging(
+                pack, g, lons, lats, window_radius=window_radius,
+                vparams=vparams, convention=convention,
+            )
+        if method == "idw":
+            return packed_idw(
+                pack, g, lons, lats, k=k, power=power,
+                window_radius=window_radius, convention=convention,
+            )
+        raise ValueError(method)
+
+    return run
+
+
+def export_scattered(path: str, shape, n_queries: int, *, extent=(0.0, 1.0, 0.0, 1.0), method: str = "kriging", window_radius: int = 2, vparams=None, convention: str = "reference", k: int = 8, power: float = 2.0, platforms=None):
+    """Serialize the packed scattered-query engine for a fixed grid geometry
+    and query batch size: ``run(pack, elev, valid, lons, lats) -> preds``.
+
+    The stencil pack is an *argument* (build it once per grid with
+    ops.packs.StencilPack and reuse across calls), so the artifact stays
+    small.  Returns the byte size written."""
+    from .ops.packs import window_offsets
+
+    H, W = shape
+    P = 1
+    while P < len(window_offsets(window_radius)):
+        P *= 2
+    run = _scattered_fn(tuple(shape), tuple(extent), method, window_radius, vparams, convention, k, power)
+    plane = jax.ShapeDtypeStruct((H, W), jnp.float32)
+    pack = jax.ShapeDtypeStruct((H * W * P,), jnp.float32)  # flat pack layout
+    q = jax.ShapeDtypeStruct((n_queries,), jnp.float32)
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    exp = jexport.export(jax.jit(run), **kw)(pack, plane, plane, q, q)
+    blob = exp.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_exported_scattered(path: str):
+    """Deserialize an export_scattered artifact into
+    ``run(pack, elev, valid, lons, lats) -> preds``."""
+    with open(path, "rb") as f:
+        exp = jexport.deserialize(f.read())
+
+    def run(pack, elev, valid, lons, lats):
+        return exp.call(
+            jnp.asarray(pack, jnp.float32),
+            jnp.asarray(elev, jnp.float32), jnp.asarray(valid, jnp.float32),
+            jnp.asarray(lons, jnp.float32), jnp.asarray(lats, jnp.float32),
+        )
+
+    return run

@@ -40,3 +40,23 @@ def test_export_is_python_free(tmp_path):
     b = np.asarray(load_exported(path)(g.elev, g.valid))
     assert np.array_equal(a, b, equal_nan=True)
     assert np.isfinite(a).any()
+
+
+def test_export_scattered_roundtrip(tmp_path):
+    from auvtpu.ops.packs import StencilPack, packed_kriging
+    from auvtpu.serve import export_scattered, load_exported_scattered
+
+    H, W = 40, 48
+    ext = (0.0, float(W - 1), 0.0, float(H - 1))
+    elev, _, _ = mask_grid(shelf_seamount(H, W), 0.1, seed=8)
+    g = RegularGrid.from_nan_array(elev, Extent(*ext))
+    sp = StencilPack(g, window_radius=2)
+    rng = np.random.RandomState(3)
+    lons = rng.uniform(0, W - 1, 200).astype(np.float32)
+    lats = rng.uniform(0, H - 1, 200).astype(np.float32)
+
+    path = str(tmp_path / "scattered.bin")
+    export_scattered(path, (H, W), 200, extent=ext, method="kriging")
+    got = np.asarray(load_exported_scattered(path)(sp.window, g.elev, g.valid, lons, lats))
+    want = np.asarray(packed_kriging(sp.window, g, lons, lats, window_radius=2))
+    assert np.array_equal(got, want, equal_nan=True)
