@@ -39,11 +39,14 @@ def main(argv=None):
                    help="use a synthetic shelf+seamount tile instead of a region")
     p.add_argument("--removal", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--steps", type=int, default=300)
-    p.add_argument("--width", type=int, default=32)
-    p.add_argument("--depth", type=int, default=4)
-    p.add_argument("--tile", type=int, default=64)
-    p.add_argument("--batch", type=int, default=8)
+    # defaults from the measured Mid-Atlantic sweep (results/learned_sweep):
+    # the small net trained longer wins — w16/d2/s400 MAE 6.97 vs w32/d4/s300
+    # MAE 11.9 (bigger nets under-train/overfit at these budgets)
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--width", type=int, default=16)
+    p.add_argument("--depth", type=int, default=2)
+    p.add_argument("--tile", type=int, default=48)
+    p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--results", default="results/TestingResults_gridB.csv")
     p.add_argument("--machine", default=None, help="default: TPU/CPU by platform")
