@@ -426,3 +426,20 @@ def test_pallas_fill_kriging_subplane_matches_xla(grid):
     assert (np.isnan(a) == np.isnan(b)).all()
     both = ~np.isnan(a)
     np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
+
+
+def test_pallas_pure_peel_radius1(grid):
+    """max_radius=1: the offset table IS chunk 0, so the while_loop body
+    never runs — the peel must stand alone (boundary of the chunk-0 peel)."""
+    from auvtpu.ops import fill_idw, fill_window_mean
+    from auvtpu.pallas import pallas_fill_idw, pallas_fill_mean
+
+    with _interp():
+        gi = np.asarray(pallas_fill_idw(grid, k=4, max_radius=1, tile=(32, 32)))
+        gm = np.asarray(pallas_fill_mean(grid, k=4, max_radius=1, tile=(32, 32)))
+    wi = np.asarray(fill_idw(grid, k=4, max_radius=1))
+    wm = np.asarray(fill_window_mean(grid, k=4, max_radius=1))
+    for got, want in ((gi, wi), (gm, wm)):
+        assert (np.isnan(got) == np.isnan(want)).all()
+        m = ~np.isnan(want)
+        np.testing.assert_allclose(got[m], want[m], rtol=1e-5, atol=1e-3)
