@@ -52,6 +52,10 @@ def main(argv=None):
     p.add_argument("--machine", default=None, help="default: TPU/CPU by platform")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (jax.config, pre-device-init)")
+    p.add_argument("--save-params", default=None, metavar="NPZ",
+                   help="checkpoint the trained parameters (learned.save_params)")
+    p.add_argument("--load-params", default=None, metavar="NPZ",
+                   help="skip training and evaluate a checkpoint instead")
     args = p.parse_args(argv)
 
     import jax
@@ -80,16 +84,27 @@ def main(argv=None):
     log(f"{args.region}: {elev.shape} grid, {len(truth)} held-out cells; "
         f"training {args.steps} steps (width {args.width}, depth {args.depth})")
 
-    t0 = time.time()
-    params, hist = train(
-        steps=args.steps, width=args.width, depth=args.depth, tile=args.tile,
-        batch=args.batch, lr=args.lr, seed=args.seed,
-        log_every=max(1, args.steps // 10), log=log,
-        batch_fn=lambda rng: make_crop_batch(
-            rng, elev_plane, valid_plane, n=args.batch, tile=args.tile
-        ),
-    )
-    log(f"trained in {time.time()-t0:.1f}s; masked-crop MSE {hist[0]:.2f} -> {hist[-1]:.2f}")
+    if args.load_params:
+        from ..learned import load_params
+
+        params, args.width, args.depth = load_params(args.load_params)
+        log(f"loaded checkpoint {args.load_params} (width {args.width}, depth {args.depth})")
+    else:
+        t0 = time.time()
+        params, hist = train(
+            steps=args.steps, width=args.width, depth=args.depth, tile=args.tile,
+            batch=args.batch, lr=args.lr, seed=args.seed,
+            log_every=max(1, args.steps // 10), log=log,
+            batch_fn=lambda rng: make_crop_batch(
+                rng, elev_plane, valid_plane, n=args.batch, tile=args.tile
+            ),
+        )
+        log(f"trained in {time.time()-t0:.1f}s; masked-crop MSE {hist[0]:.2f} -> {hist[-1]:.2f}")
+    if args.save_params:
+        from ..learned import save_params
+
+        save_params(args.save_params, params, width=args.width, depth=args.depth)
+        log(f"checkpointed parameters to {args.save_params}")
 
     fill = lambda: fill_learned(grid, params, width=args.width, depth=args.depth)
     plane = np.asarray(fill())
