@@ -123,10 +123,13 @@ def predict_planes(params, elev, valid, mean_fill, *, width: int = 32, depth: in
     return jnp.where(valid > 0.5, elev, pred)
 
 
-def fill_learned(grid: RegularGrid, params, *, width: int = 32, depth: int = 4):
+def fill_learned(grid: RegularGrid, params, *, width: int = 32, depth: int = 4, convention: str = "reference"):
     """Single-grid learned fill (API twin of ops.fill_*): observed cells keep
-    their values, gaps get the CNN prediction, unreachable cells stay NaN."""
-    mf = fill_window_mean(grid)
+    their values, gaps get the CNN prediction, unreachable cells stay NaN.
+
+    convention picks the window-mean baseline the residual corrects
+    (training and serving must use the same one)."""
+    mf = fill_window_mean(grid, convention=convention)
     out = predict_planes(
         params, grid.elev[None], grid.valid[None], mf[None],
         width=width, depth=depth,
@@ -212,7 +215,7 @@ def make_crop_batch(rng: np.random.RandomState, elev_plane, valid_plane, *, n: i
     )
 
 
-def train(steps: int = 200, *, width: int = 32, depth: int = 4, tile: int = 64, batch: int = 8, lr: float = 3e-3, seed: int = 0, log_every: int = 0, log=print, batch_fn=None):
+def train(steps: int = 200, *, width: int = 32, depth: int = 4, tile: int = 64, batch: int = 8, lr: float = 3e-3, seed: int = 0, log_every: int = 0, log=print, batch_fn=None, convention: str = "reference"):
     """Train the inpainter; returns (params, loss_history).
 
     Default batches are synthetic tiles (make_training_batch); pass
@@ -238,7 +241,8 @@ def train(steps: int = 200, *, width: int = 32, depth: int = 4, tile: int = 64, 
         mf = jax.vmap(
             lambda e, v: fill_window_mean(
                 RegularGrid(elev=e, valid=v, min_lon=ext.min_lon, max_lon=ext.max_lon,
-                            min_lat=ext.min_lat, max_lat=ext.max_lat)
+                            min_lat=ext.min_lat, max_lat=ext.max_lat),
+                convention=convention,
             )
         )(jnp.asarray(elev), jnp.asarray(valid))
         params, opt_state, loss = train_step(
