@@ -149,3 +149,29 @@ def load_exported_scattered(path: str):
         )
 
     return run
+
+
+def export_learned(path: str, shape, params, *, extent=(0.0, 1.0, 0.0, 1.0), width: int = 16, depth: int = 2, convention: str = "reference", platforms=None):
+    """Serialize the learned fill (auvtpu.learned.fill_learned) with the
+    trained parameters embedded as constants: ``fill(elev, valid) -> plane``.
+    One artifact = architecture + weights + lowered program."""
+    from .learned import fill_learned
+
+    min_lon, max_lon, min_lat, max_lat = extent
+
+    def fill(elev, valid):
+        g = RegularGrid(
+            elev=elev, valid=valid,
+            min_lon=min_lon, max_lon=max_lon, min_lat=min_lat, max_lat=max_lat,
+        )
+        return fill_learned(g, params, width=width, depth=depth, convention=convention)
+
+    spec = jax.ShapeDtypeStruct(tuple(shape), jnp.float32)
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    exp = jexport.export(jax.jit(fill), **kw)(spec, spec)
+    blob = exp.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)

@@ -60,3 +60,25 @@ def test_export_scattered_roundtrip(tmp_path):
     got = np.asarray(load_exported_scattered(path)(sp.window, g.elev, g.valid, lons, lats))
     want = np.asarray(packed_kriging(sp.window, g, lons, lats, window_radius=2))
     assert np.array_equal(got, want, equal_nan=True)
+
+
+def test_export_learned_roundtrip(tmp_path):
+    import pytest
+
+    learned = pytest.importorskip("auvtpu.learned")
+    if not learned.learned_available():
+        pytest.skip("flax unavailable")
+    import jax
+
+    from auvtpu.serve import export_learned
+
+    H, W = 40, 48
+    ext = (0.0, float(W - 1), 0.0, float(H - 1))
+    elev, _, _ = mask_grid(shelf_seamount(H, W), 0.1, seed=8)
+    g = RegularGrid.from_nan_array(elev, Extent(*ext))
+    params = learned.init_params(jax.random.PRNGKey(2), width=8, depth=1, tile=32)
+    path = str(tmp_path / "learned.bin")
+    export_learned(path, (H, W), params, extent=ext, width=8, depth=1)
+    got = np.asarray(load_exported(path)(g.elev, g.valid))
+    want = np.asarray(learned.fill_learned(g, params, width=8, depth=1))
+    assert np.array_equal(got, want, equal_nan=True)
