@@ -27,7 +27,7 @@ import numpy as np
 
 from ..config import IDWConfig
 from ..grid import RegularGrid
-from ..ops.dense import _padded_tables, sorted_offsets, _CHUNK
+from ..ops.dense import _padded_tables, _CHUNK
 
 
 def pallas_available() -> bool:
