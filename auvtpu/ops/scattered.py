@@ -254,10 +254,13 @@ def krige_solve_cols(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfi
     return pred, singular, jnp.maximum(var, 0.0)
 
 
-@partial(jax.jit, static_argnames=("max_radius", "convention"))
-def scattered_kriging(grid: RegularGrid, lons, lats, *, max_radius: int = 10, convention: str = "reference"):
+@partial(jax.jit, static_argnames=("max_radius", "convention", "with_variance"))
+def scattered_kriging(grid: RegularGrid, lons, lats, *, max_radius: int = 10, convention: str = "reference", with_variance: bool = False):
     """Window top-4 + exponential variogram + batched 5x5 solve
-    (krigingInterpolationKernel, kernels.cu:403-546)."""
+    (krigingInterpolationKernel, kernels.cu:403-546).
+
+    with_variance=True also returns the ordinary-kriging prediction
+    variance (NaN at fallback/out-of-bounds queries)."""
     cfg = KrigingConfig()
     x, y, oob = _normalize(grid, lons, lats)
     # center = round half away from zero, clamped (kernels.cu:425-432)
@@ -272,12 +275,18 @@ def scattered_kriging(grid: RegularGrid, lons, lats, *, max_radius: int = 10, co
     cy = grid.min_lat + (sel["jj"].astype(grid.dtype) + half) * lat_step
 
     vals = jnp.where(sel["slot_ok"], sel["val"], 0.0)
-    pred, singular = krige_solve(
-        jnp.asarray(lons, grid.dtype), jnp.asarray(lats, grid.dtype), vals, cx, cy, cfg
+    solved = krige_solve(
+        jnp.asarray(lons, grid.dtype), jnp.asarray(lats, grid.dtype), vals, cx, cy, cfg,
+        with_variance=with_variance,
     )
+    pred, singular = solved[0], solved[1]
     fb = masked_mean(sel["val"], sel["slot_ok"])
-    out = jnp.where(singular | (sel["found"] < 4), fb, pred)
-    return jnp.where(oob, jnp.nan, out)
+    bail = singular | (sel["found"] < 4)
+    out = jnp.where(oob, jnp.nan, jnp.where(bail, fb, pred))
+    if not with_variance:
+        return out
+    var = jnp.where(oob | bail, jnp.nan, solved[2])
+    return out, var
 
 
 # ---------------------------------------------------------------------------

@@ -124,10 +124,31 @@ class TwoTierInterpolator:
         for c in range(n_chunks):
             sl = jax.lax.dynamic_slice_in_dim(idx, c * pad_n, pad_n)
             slow = slow_fn(jnp.take(lons, sl), jnp.take(lats, sl))
-            out = out.at[sl].set(slow)
+            if isinstance(out, tuple):
+                out = tuple(o.at[sl].set(s) for o, s in zip(out, slow))
+            else:
+                out = out.at[sl].set(slow)
         return out
 
-    def kriging(self, lons, lats):
+    def kriging(self, lons, lats, *, return_variance: bool = False):
+        """return_variance=True also returns the ordinary-kriging prediction
+        variance per query (same two-tier semantics: the variance of
+        whichever tier produced the prediction; NaN at fallback queries).
+        The variance path runs the XLA packed fast path (the Pallas select
+        kernels do not emit variance) — correctness identical, speed close."""
+        if return_variance:
+            fast = lambda lo, la: packed_kriging(
+                self.pack.window, self.grid, lo, la,
+                window_radius=2, convention=self.convention, with_variance=True,
+            )
+            return self._run(
+                fast,
+                lambda lo, la: scattered_kriging(
+                    self.grid, lo, la, max_radius=10, convention=self.convention,
+                    with_variance=True,
+                ),
+                lons, lats, k=4,
+            )
         if self.backend == "transposed":
             from ..pallas import pallas_packed_kriging_t
 

@@ -368,3 +368,32 @@ def test_packed_kriging_variance_matches_dense():
     assert (var[m] >= 0).all()
     np.testing.assert_allclose(var[m], dv[m], rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(pred[m], dp[m], rtol=1e-4, atol=1e-2)
+
+
+def test_two_tier_variance_matches_full_window():
+    """return_variance: two-tier prediction AND variance must match the full
+    radius-10 window solve, including escalated queries."""
+    from auvtpu.ops.two_tier import TwoTierInterpolator
+
+    elev = shelf_seamount(H, W)
+    elev, _, _ = mask_grid(elev, 0.6, seed=31)
+    grid = RegularGrid.from_nan_array(elev, EXT)
+    tt = TwoTierInterpolator(grid, escalate_cap=64, backend="xla")
+    r = np.random.RandomState(9)
+    lons = r.uniform(1e-6, W - 1 - 1e-6, 500).astype(np.float32)
+    lats = r.uniform(1e-6, H - 1 - 1e-6, 500).astype(np.float32)
+    got_k, got_v = tt.kriging(lons, lats, return_variance=True)
+    got_k, got_v = np.asarray(got_k), np.asarray(got_v)
+    want_k, want_v = scattered_kriging(
+        grid, lons, lats, max_radius=10, with_variance=True
+    )
+    want_k, want_v = np.asarray(want_k), np.asarray(want_v)
+    assert (np.isnan(got_k) == np.isnan(want_k)).all()
+    both = ~np.isnan(got_k)
+    np.testing.assert_allclose(got_k[both], want_k[both], rtol=1e-4, atol=0.1)
+    vb = ~np.isnan(got_v) & ~np.isnan(want_v)
+    assert (got_v[vb] >= 0).all()
+    np.testing.assert_allclose(got_v[vb], want_v[vb], rtol=1e-3, atol=0.05)
+    # plain call unchanged by the variance plumbing
+    plain = np.asarray(tt.kriging(lons, lats))
+    np.testing.assert_allclose(plain[both], got_k[both], rtol=1e-6, atol=1e-5)
