@@ -37,18 +37,20 @@ def toy_example():
         print(f"  ({lo:8.3f},{la:6.3f}) tpu={t:10.3f}  golden={g:10.3f}")
 
 
-def benchmark(batches=(1_000, 10_000, 100_000, 1_000_000)):
+def benchmark(batches=(1_000, 10_000, 100_000, 1_000_000), grid_shape=(800, 1000)):
     import jax
     import jax.numpy as jnp
 
     from ..ops import scattered_bilinear
 
-    elev = sinusoid(800, 1000)
+    elev = sinusoid(*grid_shape)
     ext = Extent(min_lon=-180.0, max_lon=-160.0, min_lat=20.0, max_lat=30.0)
     grid = RegularGrid.dense(elev, ext)
     golden = GoldenGrid(elev, ext.min_lon, ext.max_lon, ext.min_lat, ext.max_lat)
     key = jax.random.PRNGKey(0)
-    print("\n1000x800 sinusoid, bilinear, golden(numpy f64, 1 host core) vs TPU:")
+    print(f"\n{grid_shape[1]}x{grid_shape[0]} sinusoid, bilinear, "
+          "golden(numpy f64, 1 host core) vs TPU:")
+    any_failed = False
     for n in batches:
         key, k1, k2 = jax.random.split(key, 3)
         lons = jax.random.uniform(k1, (n,), jnp.float32, ext.min_lon + 1e-6, ext.max_lon - 1e-6)
@@ -63,19 +65,31 @@ def benchmark(batches=(1_000, 10_000, 100_000, 1_000_000)):
         dev_ms = steady_state_ms(scattered_bilinear, grid, lons, lats, iters=5)
         got = np.asarray(scattered_bilinear(grid, lons, lats))
         ok = np.allclose(got[:10], want[:10], atol=0.05)
+        any_failed = any_failed or not ok
         print(
             f"  n={n:>9}: host {host_ms:9.1f} ms   device {dev_ms:8.2f} ms   "
             f"speedup {host_ms/dev_ms:7.1f}x   validation {'PASSED' if ok else 'FAILED'}"
         )
+    return not any_failed
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--skip-benchmark", action="store_true")
+    p.add_argument("--batches", type=int, nargs="+", default=None,
+                   help="benchmark batch sizes (default: 1e3 1e4 1e5 1e6)")
+    p.add_argument("--grid-shape", type=int, nargs=2, default=None,
+                   metavar=("NLAT", "NLON"), help="benchmark grid shape")
     args = p.parse_args(argv)
     toy_example()
     if not args.skip_benchmark:
-        benchmark()
+        kw = {}
+        if args.batches:
+            kw["batches"] = tuple(args.batches)
+        if args.grid_shape:
+            kw["grid_shape"] = tuple(args.grid_shape)
+        if not benchmark(**kw):
+            raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,41 @@ def _probe(platforms, timeout_s: float = 540.0) -> bool:
         return False
 
 
+def require_device(probe_timeout_s: float = 420.0, log=None):
+    """Single-shot device check with a fast, loud failure path.
+
+    A DEAD tunnel answers probes quickly with a non-zero returncode (observed
+    r3: 'backend setup/compile Unavailable' within seconds), while a
+    healthy-but-cold backend simply takes long to answer (~100-400 s warmup).
+    So: probe each personality ONCE.  Quick failures on both -> SystemExit
+    within seconds (no retry loop that could eat a driver budget, VERDICT r3
+    weak #2).  A probe that times out is treated as down too — the caller
+    cannot afford an unbounded wait.  Returns the initialized device list.
+    """
+    if log is None:
+        log = lambda *a: print(*a, file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    platform = None
+    if _probe(None, timeout_s=probe_timeout_s):
+        platform = None
+    elif _probe("tpu", timeout_s=max(30.0, probe_timeout_s - (time.time() - t0))):
+        platform = "tpu"
+    else:
+        log(f"FATAL: no non-CPU backend answered within {time.time()-t0:.0f}s; "
+            "tunnel is down — exiting non-zero (no fallback number will be produced)")
+        raise SystemExit(3)
+
+    import jax
+
+    if platform is not None:
+        jax.config.update("jax_platforms", platform)
+    devs = jax.devices()
+    log(f"device: {devs[0].platform} {getattr(devs[0], 'device_kind', '')} "
+        f"(probe {time.time()-t0:.0f}s)")
+    return devs
+
+
 def wait_for_device(max_wait_s: float = 900.0, log=None):
     """Block until a non-CPU jax backend answers, then initialize it in this
     process (forcing JAX_PLATFORMS=tpu if only the raw plugin recovered).

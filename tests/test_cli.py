@@ -293,3 +293,16 @@ def test_learned_eval_cli_synthetic(tmp_path):
     assert df["InterpolationType"].iloc[0] == "Learned"
     assert np.isfinite(df["RMSE"].iloc[0])
     assert df["Region"].iloc[0] == "synthetic48x64"
+
+
+def test_demo_cli(capsys):
+    # rebuild of the reference's de-facto smoke (main.cpp:184-203): toy grid
+    # side-by-side values + benchmark validation loop; main() exits nonzero
+    # if any batch's golden-vs-TPU validation fails (VERDICT r3 item 5)
+    from auvtpu.cli.demo import main
+
+    main(["--batches", "200", "1000", "--grid-shape", "60", "80"])
+    out = capsys.readouterr().out
+    assert "toy 10x8 grid" in out
+    assert out.count("validation PASSED") == 2
+    assert "FAILED" not in out
