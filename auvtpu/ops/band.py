@@ -1,0 +1,398 @@
+"""Trajectory-band router: dense band fill + MXU windowed bilinear resample.
+
+Motivation (measured, round 3): every scattered path is bound by the gather
+unit at ~190 M rows/s — one stencil-row fetch per query — and the chip showed
+NO locality benefit for coherent batches (results/coherent_probe_r3.txt), so
+sorting queries cannot help the packed path.  For band-confined AUV
+trajectories the way past the floor is switching algorithm (docs/NEXTSTEPS.md
+lead #3): densely fill the trajectory's band ONCE with the cell-aligned
+gather-free kriging/IDW pipeline (ops/dense.py), then serve queries by
+*resampling* the filled band — and do the resample without per-query gathers
+at all:
+
+- queries are processed in fixed-size chunks of consecutive samples (an AUV
+  trajectory is spatially coherent by construction: consecutive pings are
+  meters apart);
+- each chunk extracts ONE static-shape window of the band around the chunk's
+  bounding cell (``lax.dynamic_slice`` with a dynamic base — vmapped over
+  chunks this lowers to a row-block gather of window rows: ~wr rows per
+  *chunk*, not per query, ~80x fewer gathered rows than the packed path at
+  chunk=512/wr=48);
+- the bilinear row interpolation is folded into a row-weight matrix
+  (chunk, wr) — entries (1-wy)/wy at rows y0/y0+1 — and applied as a batched
+  matmul against the (wr, wc) window: MXU work instead of gathers;  the
+  column pick + x-lerp is one fused (chunk, wc) weighted reduce.
+
+Queries whose corner cells fall outside their chunk's window (trajectory
+jumps, chunk straddling a window boundary) are returned unresolved and
+escalate to the caller's scattered path — same two-tier shape as
+ops/two_tier.py.  :class:`BandRouter` wires that escalation to the full-grid
+:class:`~auvtpu.ops.two_tier.TwoTierInterpolator` and adds the measured-cost
+crossover heuristic (``route()``).
+
+Semantics: in-band queries receive the *bilinear resample of the cell-aligned
+kriging (or IDW) fill* — NOT per-query kriging.  At observed cells the band
+keeps the observed value, so the resample interpolates measurements near data
+and kriged estimates inside holes.  The divergence from per-query kriging is
+documented and bounded in docs/SEMANTICS.md; out-of-band/unresolved queries
+keep exact two-tier kriging semantics via escalation.
+
+No reference analog: the reference serves every query through its per-point
+CUDA kernels (kernels.cu:173-546).  This module is a TPU-only capability.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid import RegularGrid
+from ..config import Extent
+
+_LANES = 128
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return -(-int(v) // m) * m
+
+
+@partial(jax.jit, static_argnames=("chunk", "wr", "wc", "masked"))
+def _band_resample(plane, vmask, x, y, *, chunk: int, wr: int, wc: int, masked: bool):
+    """Chunked windowed bilinear over a dense band plane.
+
+    plane: (R, C) band values, NaN-free (NaN cells carry 0 with vmask=0).
+    vmask: (R, C) 1.0 where the band value is defined (None when the band is
+      fully defined — the common case after a kriging fill; `masked` static).
+    x, y:  (N,) continuous band-frame coords (x=col, y=row); N % chunk == 0.
+
+    Returns (z, ok): z NaN where a query is unresolved (corner outside the
+    chunk window, outside the band, or touching an undefined cell); ok is the
+    resolved mask.  One-hot row weights NEVER multiply NaN (0*NaN would
+    poison the matmul — CLAUDE.md): undefined cells are zero-filled and
+    accounted through the vmask channel instead.
+    """
+    R, C = plane.shape
+    dt = plane.dtype
+    n = x.shape[0]
+    nch = n // chunk
+    xc = x.reshape(nch, chunk)
+    yc = y.reshape(nch, chunk)
+    x0 = jnp.floor(xc).astype(jnp.int32)
+    y0 = jnp.floor(yc).astype(jnp.int32)
+    wx = (xc - x0).astype(dt)
+    wy = (yc - y0).astype(dt)
+
+    # per-chunk window base, clamped so the static window stays in-bounds
+    bx = jnp.clip(jnp.min(x0, axis=1), 0, max(C - wc, 0))
+    by = jnp.clip(jnp.min(y0, axis=1), 0, max(R - wr, 0))
+    lx0 = x0 - bx[:, None]
+    ly0 = y0 - by[:, None]
+    ok = (
+        (lx0 >= 0) & (lx0 <= wc - 2) & (ly0 >= 0) & (ly0 <= wr - 2)
+        & (x0 >= 0) & (x0 <= C - 2) & (y0 >= 0) & (y0 <= R - 2)
+    )
+    lx0c = jnp.clip(lx0, 0, wc - 2)
+    ly0c = jnp.clip(ly0, 0, wr - 2)
+
+    if masked:
+        stacked = jnp.concatenate([plane, vmask], axis=1)  # (R, 2C)
+        win = jax.vmap(
+            lambda byi, bxi: jax.lax.dynamic_slice(stacked, (byi, bxi), (wr, wc))
+        )(by, bx)
+        winm = jax.vmap(
+            lambda byi, bxi: jax.lax.dynamic_slice(stacked, (byi, bxi + C), (wr, wc))
+        )(by, bx)
+    else:
+        win = jax.vmap(
+            lambda byi, bxi: jax.lax.dynamic_slice(plane, (byi, bxi), (wr, wc))
+        )(by, bx)
+
+    # row-lerp folded into the extraction matmul: (nch, chunk, wr) @ (nch, wr, wc)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wr), 2)
+    mrow = (
+        (riota == ly0c[:, :, None]).astype(dt) * (1 - wy)[:, :, None]
+        + (riota == (ly0c + 1)[:, :, None]).astype(dt) * wy[:, :, None]
+    )
+    rows_v = jnp.einsum("ncr,nrw->ncw", mrow, win)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wc), 2)
+    mcol = (
+        (ciota == lx0c[:, :, None]).astype(dt) * (1 - wx)[:, :, None]
+        + (ciota == (lx0c + 1)[:, :, None]).astype(dt) * wx[:, :, None]
+    )
+    z = (rows_v * mcol).sum(axis=2)
+    if masked:
+        rows_m = jnp.einsum("ncr,nrw->ncw", mrow, winm)
+        wsum = (rows_m * mcol).sum(axis=2)
+        ok = ok & (wsum > 1.0 - 1e-3)
+    z = jnp.where(ok, z, jnp.nan)
+    return z.reshape(-1), ok.reshape(-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class Band:
+    """A filled rectangular sub-band of a grid (device-resident)."""
+
+    plane: jax.Array      # (R, C) NaN-free values (0 at undefined cells)
+    vmask: jax.Array      # (R, C) 1.0 where defined
+    masked: bool          # static: any undefined cell in the band?
+    row0: int
+    col0: int
+
+    @property
+    def shape(self):
+        return self.plane.shape
+
+    @property
+    def cells(self) -> int:
+        return int(self.plane.shape[0] * self.plane.shape[1])
+
+
+def fill_band(
+    grid: RegularGrid,
+    row0: int,
+    nrows: int,
+    col0: int,
+    ncols: int,
+    *,
+    method: str = "kriging",
+    margin: int = 10,
+    fill_backend: str = "xla",
+    convention: str = "reference",
+    vparams=None,
+    model: str = "exponential",
+) -> Band:
+    """Dense-fill a [row0:row0+nrows, col0:col0+ncols] band of ``grid``.
+
+    The fill runs on a margin-expanded block (default margin = the fill's
+    max_radius) so band-edge cells see the same candidate window they would
+    in a whole-grid fill, then crops back; ``row0/col0/steps`` keep the
+    variogram geometry global (fill_kriging's sharded-execution support).
+    Observed cells keep their observed value; only invalid cells take the
+    fill.  Cells the fill cannot resolve (empty candidate window) stay
+    undefined and are tracked in the band's vmask.
+    """
+    from .dense import fill_idw, fill_kriging
+
+    H, W = grid.shape
+    row0, col0 = int(row0), int(col0)
+    nrows, ncols = int(nrows), int(ncols)
+    if not (0 <= row0 and row0 + nrows <= H and 0 <= col0 and col0 + ncols <= W):
+        raise ValueError(f"band [{row0}:{row0+nrows}, {col0}:{col0+ncols}] outside grid {grid.shape}")
+    r0 = max(0, row0 - margin)
+    r1 = min(H, row0 + nrows + margin)
+    c0 = max(0, col0 - margin)
+    c1 = min(W, col0 + ncols + margin)
+    sub = RegularGrid(
+        elev=jax.lax.slice(grid.elev, (r0, c0), (r1, c1)),
+        valid=jax.lax.slice(grid.valid, (r0, c0), (r1, c1)),
+        # bounds only shift the variogram's absolute coords; keep them global
+        # via min_* plus the block offset so row0/col0 semantics match
+        min_lon=grid.min_lon,
+        max_lon=grid.max_lon,
+        min_lat=grid.min_lat,
+        max_lat=grid.max_lat,
+    )
+    steps = (grid.lat_step, grid.lon_step)
+    if method == "kriging":
+        filled = fill_kriging(
+            sub, row0=r0, col0=c0, steps=steps, vparams=vparams,
+            convention=convention, backend=fill_backend, model=model,
+        )
+    elif method == "idw":
+        filled = fill_idw(sub, convention=convention)
+    else:
+        raise ValueError(method)
+    # crop the margin back to the requested band
+    fr, fc = row0 - r0, col0 - c0
+    filled = jax.lax.slice(filled, (fr, fc), (fr + nrows, fc + ncols))
+    ev = jax.lax.slice(grid.elev, (row0, col0), (row0 + nrows, col0 + ncols))
+    va = jax.lax.slice(grid.valid, (row0, col0), (row0 + nrows, col0 + ncols))
+    plane = jnp.where(va > 0.5, ev, filled)
+    vmask = jnp.where(jnp.isnan(plane), 0.0, 1.0).astype(grid.dtype)
+    plane = jnp.where(jnp.isnan(plane), 0.0, plane)
+    masked = bool(jnp.min(vmask) < 0.5)  # static: resolves the fast path
+    return Band(plane=plane, vmask=vmask, masked=masked, row0=row0, col0=col0)
+
+
+class BandResampler:
+    """Serve scattered queries from a filled band via the chunked MXU resample.
+
+    chunk/wr/wc are static kernel parameters: chunk consecutive queries share
+    one (wr, wc) window.  Defaults suit survey trajectories sampled densely
+    relative to the grid step; a chunk whose bounding box exceeds the window
+    resolves only the queries that fit and reports the rest unresolved.
+    """
+
+    def __init__(self, grid: RegularGrid, band: Band, *, chunk: int = 512,
+                 win_rows: int = 48, win_cols: int = 128):
+        R, C = band.shape
+        self.grid = grid
+        self.band = band
+        self.chunk = int(chunk)
+        self.wr = min(int(win_rows), R)
+        self.wc = min(int(win_cols), C)
+        self.dtype = band.plane.dtype
+
+    def resample(self, lons, lats):
+        """Returns (values, resolved_mask); unresolved entries are NaN."""
+        lons = jnp.asarray(lons, self.dtype)
+        lats = jnp.asarray(lats, self.dtype)
+        n = lons.shape[0]
+        x, y = self.grid.lonlat_to_xy(lons, lats)
+        x = x - self.band.col0
+        y = y - self.band.row0
+        pad = (-n) % self.chunk
+        if pad:
+            # pad with the LAST query so the tail chunk stays coherent
+            x = jnp.concatenate([x, jnp.broadcast_to(x[-1], (pad,))])
+            y = jnp.concatenate([y, jnp.broadcast_to(y[-1], (pad,))])
+        z, ok = _band_resample(
+            self.band.plane, self.band.vmask, x, y,
+            chunk=self.chunk, wr=self.wr, wc=self.wc, masked=self.band.masked,
+        )
+        return z[:n], ok[:n]
+
+
+# measured chip constants (ns per unit), calibrated in scripts/band_probe.py;
+# used only for ROUTING decisions so ~2x error is harmless
+COST_NS = {
+    "packed_per_query": 8.3,    # 120.4 M pts/s transposed kriging (r3)
+    "fill_per_cell": 9.5,       # ~105 M cells/s fused dense kriging fill
+    "resample_per_query": 2.0,  # chunked MXU resample (band_probe)
+}
+
+
+class BandRouter:
+    """Crossover router: band fill+resample vs the packed two-tier path.
+
+    ``route(lons, lats)`` picks the cheaper algorithm from the measured cost
+    model + a device-computed coherence statistic; ``kriging()`` executes the
+    choice, escalating band-unresolved queries to exact two-tier kriging.
+    """
+
+    def __init__(self, grid: RegularGrid, *, convention: str = "reference",
+                 chunk: int = 512, win_rows: int = 48, win_cols: int = 128,
+                 margin: int = 10, fill_backend: str = "auto",
+                 two_tier=None, cost_ns=None):
+        from .two_tier import TwoTierInterpolator
+
+        self.grid = grid
+        self.convention = convention
+        self.chunk = int(chunk)
+        self.win_rows = int(win_rows)
+        self.win_cols = int(win_cols)
+        self.margin = int(margin)
+        if fill_backend == "auto":
+            fill_backend = (
+                "fused"
+                if jax.default_backend() == "tpu" and grid.dtype == jnp.float32
+                else "xla"
+            )
+        self.fill_backend = fill_backend
+        self.two_tier = two_tier or TwoTierInterpolator(grid, convention=convention)
+        self.cost_ns = dict(COST_NS, **(cost_ns or {}))
+        self._band = None
+        self._resampler = None
+
+    # -- band management ---------------------------------------------------
+    def band_bbox(self, lons, lats):
+        """Snap the query bbox (+1 cell bilinear support) to a band shape:
+        rows to multiples of 8, cols to multiples of 128 (tile-aligned fills),
+        clipped to the grid."""
+        x, y = self.grid.lonlat_to_xy(jnp.asarray(lons, self.grid.dtype),
+                                      jnp.asarray(lats, self.grid.dtype))
+        H, W = self.grid.shape
+        # one device round trip for 4 scalars
+        x0, x1, y0, y1 = (int(jnp.floor(jnp.min(x))), int(jnp.floor(jnp.max(x))) + 1,
+                          int(jnp.floor(jnp.min(y))), int(jnp.floor(jnp.max(y))) + 1)
+        r0 = max(0, min(y0, H - 2))
+        c0 = max(0, min(x0, W - 2))
+        nrows = min(_ceil_to(max(y1 - r0 + 1, 8), 8), H - r0)
+        ncols = min(_ceil_to(max(x1 - c0 + 1, 128), 128), W - c0)
+        return r0, nrows, c0, ncols
+
+    def prepare(self, lons, lats, **fill_kw):
+        """Fill (or refresh) the band covering these queries."""
+        r0, nr, c0, nc = self.band_bbox(lons, lats)
+        self._band = fill_band(
+            self.grid, r0, nr, c0, nc, margin=self.margin,
+            fill_backend=self.fill_backend, convention=self.convention,
+            **fill_kw,
+        )
+        self._resampler = BandResampler(
+            self.grid, self._band, chunk=self.chunk,
+            win_rows=self.win_rows, win_cols=self.win_cols,
+        )
+        return self._band
+
+    # -- routing -----------------------------------------------------------
+    def coherence(self, lons, lats):
+        """Fraction of chunks whose bounding box fits the (wr, wc) window —
+        ONE scalar readback; cheap (two min/max passes over N)."""
+        x, y = self.grid.lonlat_to_xy(jnp.asarray(lons, self.grid.dtype),
+                                      jnp.asarray(lats, self.grid.dtype))
+        n = x.shape[0]
+        pad = (-n) % self.chunk
+        if pad:
+            x = jnp.concatenate([x, jnp.broadcast_to(x[-1], (pad,))])
+            y = jnp.concatenate([y, jnp.broadcast_to(y[-1], (pad,))])
+        xc = x.reshape(-1, self.chunk)
+        yc = y.reshape(-1, self.chunk)
+        fit = (
+            (jnp.max(xc, axis=1) - jnp.min(xc, axis=1) < self.win_cols - 2)
+            & (jnp.max(yc, axis=1) - jnp.min(yc, axis=1) < self.win_rows - 2)
+        )
+        return float(jnp.mean(fit.astype(jnp.float32)))
+
+    def route(self, lons, lats, *, band_ready: bool = False) -> str:
+        """'band' or 'packed' from the measured cost model.  band_ready=True
+        amortizes the fill (serving mode: many batches per band)."""
+        n = int(np.shape(lons)[0])
+        frac = self.coherence(lons, lats)
+        c = self.cost_ns
+        packed = c["packed_per_query"] * n
+        if band_ready and self._band is not None:
+            fill = 0.0
+            cells = self._band.cells
+        else:
+            r0, nr, c0, nc = self.band_bbox(lons, lats)
+            cells = nr * nc
+            fill = c["fill_per_cell"] * cells
+        band = (
+            fill
+            + c["resample_per_query"] * n
+            + c["packed_per_query"] * n * (1.0 - frac)
+        )
+        return "band" if band < packed else "packed"
+
+    # -- execution ---------------------------------------------------------
+    def kriging(self, lons, lats, *, force: str | None = None):
+        """Serve a batch: band resample with exact-kriging escalation, or the
+        packed two-tier path, whichever routes cheaper (or ``force``d)."""
+        choice = force or self.route(lons, lats, band_ready=self._band is not None)
+        if choice == "packed":
+            return self.two_tier.kriging(lons, lats)
+        if self._resampler is None:
+            self.prepare(lons, lats)
+        z, ok = self._resampler.resample(lons, lats)
+        n_bad = int(jnp.sum(~ok))
+        if n_bad == 0:
+            return z
+        # escalate unresolved queries to exact two-tier kriging (same padded
+        # size-bucketed nonzero scheme as two_tier._run)
+        pad_n = max(64, 1 << (n_bad - 1).bit_length())
+        pad_n = min(pad_n, int(ok.shape[0]))
+        n_chunks = -(-n_bad // pad_n)
+        idx = jnp.nonzero(~ok, size=n_chunks * pad_n, fill_value=0)[0]
+        lons = jnp.asarray(lons, self.grid.dtype)
+        lats = jnp.asarray(lats, self.grid.dtype)
+        out = z
+        for ci in range(n_chunks):
+            sl = jax.lax.dynamic_slice_in_dim(idx, ci * pad_n, pad_n)
+            vals = self.two_tier.kriging(jnp.take(lons, sl), jnp.take(lats, sl))
+            out = out.at[sl].set(vals)
+        return out

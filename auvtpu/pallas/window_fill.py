@@ -828,14 +828,17 @@ def _make_kriging_fill_kernel(radius: int, th: int, tw: int, n_chunks: int, mode
 
 
 @partial(jax.jit, static_argnames=("max_radius", "tile", "convention", "model", "solver", "prefetch", "with_variance"))
-def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(32, 128), convention: str = "reference", vparams=None, model: str = "exponential", solver: str = "lu", prefetch: int = 2, with_variance: bool = False, row0=0, col0=0, steps=None):
+def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(64, 256), convention: str = "reference", vparams=None, model: str = "exponential", solver: str = "gj", prefetch: int = 2, with_variance: bool = False, row0=0, col0=0, steps=None):
     """Fully-fused ordinary-kriging fill: window selection AND the batched
     5x6 solve run per tile in VMEM — one HBM read of the grid, one write of
-    the prediction plane.  solver: 'lu' (forward elim + back-sub, default;
-    measured ~15% faster end-to-end) or 'gj' (Gauss-Jordan, op-ordered like
-    the XLA path).  with_variance=True additionally returns the
-    ordinary-kriging prediction-variance plane (sigma^2, NaN at fallback
-    cells) — the Pallas twin of ops.fill_kriging(with_variance=True)."""
+    the prediction plane.  Defaults tile=(64,256)/solver='gj'/prefetch=2: the
+    post-peel interleaved-median chip sweep's consistent winner (4.90 ms
+    median on the bench workload vs 5.44-6.23 for every other candidate,
+    results/fused_tile_confirm_r4.txt); 'gj' (Gauss-Jordan) is additionally
+    bit-identical to the XLA path, 'lu' (forward elim + back-sub) within
+    1.5e-3.  with_variance=True additionally returns the ordinary-kriging
+    prediction-variance plane (sigma^2, NaN at fallback cells) — the Pallas
+    twin of ops.fill_kriging(with_variance=True)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

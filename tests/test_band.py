@@ -1,0 +1,187 @@
+"""Trajectory-band router (ops/band.py): resample parity, escalation, routing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from auvtpu.config import Extent
+from auvtpu.grid import RegularGrid
+from auvtpu.masking import mask_grid
+from auvtpu.ops.band import Band, BandResampler, BandRouter, fill_band
+from auvtpu.synthetic import shelf_seamount
+
+EXT = Extent(-74.0, -70.0, 35.0, 38.0)
+
+
+def _trajectory(grid, n, seed=0, row_frac=0.35, row_width_frac=0.08):
+    """Synthetic AUV survey track: slow sinusoidal sweep inside a row band,
+    advancing monotonically in lon — consecutive samples are ~0.2 cells
+    apart (dense sampling relative to the grid step, like a real survey)."""
+    H, W = grid.shape
+    t = np.linspace(0.0, 1.0, n)
+    x = 1.0 + t * (W - 3)
+    y = H * row_frac + H * row_width_frac * np.sin(t * 40 * np.pi)
+    rng = np.random.default_rng(seed)
+    x += rng.normal(0, 0.05, n)
+    y += rng.normal(0, 0.05, n)
+    x = np.clip(x, 0.5, W - 1.5)
+    y = np.clip(y, 0.5, H - 1.5)
+    lon = EXT.min_lon + x * grid.lon_step
+    lat = EXT.min_lat + y * grid.lat_step
+    return lon, lat
+
+
+def _ref_bilinear(plane, x, y):
+    """Direct NumPy bilinear on a dense plane (f64)."""
+    p = np.asarray(plane, np.float64)
+    x0 = np.floor(x).astype(int)
+    y0 = np.floor(y).astype(int)
+    wx = x - x0
+    wy = y - y0
+    z00 = p[y0, x0]
+    z01 = p[y0, x0 + 1]
+    z10 = p[y0 + 1, x0]
+    z11 = p[y0 + 1, x0 + 1]
+    return (1 - wy) * ((1 - wx) * z00 + wx * z01) + wy * ((1 - wx) * z10 + wx * z11)
+
+
+def test_fill_band_matches_whole_grid_fill():
+    # a margin-expanded band fill must equal the corresponding crop of the
+    # whole-grid fill (same candidate windows, same global geometry)
+    from auvtpu.ops import fill_kriging
+
+    elev = shelf_seamount(96, 128)
+    reduced, rc, _ = mask_grid(elev, 0.2, seed=3)
+    grid = RegularGrid.from_nan_array(reduced, EXT)
+    whole = np.asarray(fill_kriging(grid))
+    band = fill_band(grid, 24, 32, 0, 128)
+    want = np.where(np.asarray(grid.valid)[24:56] > 0.5,
+                    np.asarray(grid.elev)[24:56], whole[24:56])
+    got = np.asarray(jnp.where(band.vmask > 0.5, band.plane, np.nan))
+    want_m = np.where(np.isnan(want), np.nan, want)
+    assert (np.isnan(got) == np.isnan(want_m)).all()
+    m = ~np.isnan(want_m)
+    assert np.abs(got[m] - want_m[m]).max() < 1e-4
+
+
+def test_band_resample_parity_dense():
+    # chunked MXU resample == direct bilinear on the band plane (f64 ref)
+    elev = shelf_seamount(96, 160)
+    grid = RegularGrid.dense(elev, EXT)
+    band = fill_band(grid, 16, 48, 0, 160, method="idw")
+    rs = BandResampler(grid, band, chunk=64, win_rows=32, win_cols=128)
+    lon, lat = _trajectory(grid, 1000, row_frac=0.4, row_width_frac=0.05)
+    z, ok = rs.resample(lon, lat)
+    z = np.asarray(z)
+    ok = np.asarray(ok)
+    assert ok.mean() > 0.95  # coherent track: nearly everything resolves
+    x = (lon - EXT.min_lon) / grid.lon_step - band.col0
+    y = (lat - EXT.min_lat) / grid.lat_step - band.row0
+    want = _ref_bilinear(band.plane, x, y)
+    assert np.abs(z[ok] - want[ok]).max() < 1e-3
+
+
+def test_band_resample_masked_plane():
+    # undefined band cells must yield unresolved (never silently 0-filled):
+    # build a Band with a hole and query straight into it
+    plane = np.ones((32, 128), np.float32) * 5.0
+    vmask = np.ones((32, 128), np.float32)
+    vmask[10:12, 40:44] = 0.0
+    plane[10:12, 40:44] = 0.0
+    grid = RegularGrid.dense(np.ones((32, 128)), EXT)
+    band = Band(plane=jnp.asarray(plane), vmask=jnp.asarray(vmask),
+                masked=True, row0=0, col0=0)
+    rs = BandResampler(grid, band, chunk=64, win_rows=16, win_cols=64)
+    xs = np.array([40.5, 20.5, 41.2, 90.0])
+    ys = np.array([10.5, 5.5, 9.3, 20.0])  # q0 inside hole, q2 touches row 10
+    lon = EXT.min_lon + xs * grid.lon_step
+    lat = EXT.min_lat + ys * grid.lat_step
+    z, ok = rs.resample(lon, lat)
+    z, ok = np.asarray(z), np.asarray(ok)
+    assert not ok[0] and np.isnan(z[0])
+    assert not ok[2] and np.isnan(z[2])
+    assert ok[1] and ok[3]
+    assert np.allclose(z[[1, 3]], 5.0, atol=1e-5)
+
+
+def test_band_resample_incoherent_chunks_unresolved():
+    # a chunk spanning more columns than the window resolves only the queries
+    # inside the clamped window; the rest report unresolved
+    elev = shelf_seamount(64, 512)
+    grid = RegularGrid.dense(elev, EXT)
+    band = fill_band(grid, 0, 64, 0, 512, method="idw")
+    rs = BandResampler(grid, band, chunk=32, win_rows=32, win_cols=64)
+    rng = np.random.default_rng(1)
+    xs = rng.uniform(1, 510, 256)  # random: spans >> 64-col window
+    ys = rng.uniform(1, 62, 256)
+    lon = EXT.min_lon + xs * grid.lon_step
+    lat = EXT.min_lat + ys * grid.lat_step
+    z, ok = rs.resample(lon, lat)
+    ok = np.asarray(ok)
+    assert ok.mean() < 0.9  # incoherent: plenty escalates
+    # resolved ones are still CORRECT
+    want = _ref_bilinear(band.plane, xs, ys)
+    got = np.asarray(z)
+    assert np.abs(got[ok] - want[ok]).max() < 1e-3
+
+
+def test_band_router_end_to_end_and_escalation():
+    elev = shelf_seamount(96, 160)
+    reduced, rc, _ = mask_grid(elev, 0.15, seed=7)
+    grid = RegularGrid.from_nan_array(reduced, EXT)
+    router = BandRouter(grid, chunk=64, win_rows=32, win_cols=128,
+                        fill_backend="xla")
+    lon, lat = _trajectory(grid, 2000, seed=2)
+    # coherent trajectory routes to band; result matches the band resample
+    # with exact two-tier kriging at every unresolved query
+    z = np.asarray(router.kriging(lon, lat, force="band"))
+    assert np.isfinite(z).all()
+    rs = router._resampler
+    zr, ok = rs.resample(lon, lat)
+    zr, ok = np.asarray(zr), np.asarray(ok)
+    np.testing.assert_allclose(z[ok], zr[ok], atol=1e-5)
+    if (~ok).any():
+        want = np.asarray(router.two_tier.kriging(
+            jnp.asarray(lon[~ok], jnp.float32), jnp.asarray(lat[~ok], jnp.float32)))
+        np.testing.assert_allclose(z[~ok], want, atol=1e-4)
+    # in-band values approximate exact kriging (band semantics: resample of
+    # the cell-aligned fill) — sanity-bound the divergence on a smooth field
+    exact = np.asarray(router.two_tier.kriging(
+        jnp.asarray(lon, jnp.float32), jnp.asarray(lat, jnp.float32)))
+    span = float(np.nanmax(elev) - np.nanmin(elev))
+    assert np.nanmean(np.abs(z - exact)) < 0.05 * span
+
+
+def test_band_router_routing_decisions():
+    elev = shelf_seamount(96, 160)
+    reduced, _, _ = mask_grid(elev, 0.15, seed=7)
+    grid = RegularGrid.from_nan_array(reduced, EXT)
+    router = BandRouter(grid, chunk=64, win_rows=32, win_cols=128,
+                        fill_backend="xla")
+    lon, lat = _trajectory(grid, 4096, row_width_frac=0.04)
+    assert router.coherence(lon, lat) > 0.9
+    rng = np.random.default_rng(0)
+    rlon = rng.uniform(EXT.min_lon + 0.1, EXT.max_lon - 0.1, 4096)
+    rlat = rng.uniform(EXT.min_lat + 0.1, EXT.max_lat - 0.1, 4096)
+    assert router.coherence(rlon, rlat) < 0.2
+    # random batches must route packed; a coherent batch with an amortized
+    # band (serving mode) must route band
+    assert router.route(rlon, rlat) == "packed"
+    router.prepare(lon, lat)
+    assert router.route(lon, lat, band_ready=True) == "band"
+
+
+def test_band_bbox_snapping():
+    elev = shelf_seamount(96, 512)
+    grid = RegularGrid.dense(elev, EXT)
+    router = BandRouter(grid, fill_backend="xla")
+    lon, lat = _trajectory(grid, 500, row_frac=0.5, row_width_frac=0.03)
+    r0, nr, c0, nc = router.band_bbox(lon, lat)
+    assert nr % 8 == 0 and nc % 128 == 0
+    assert 0 <= r0 and r0 + nr <= 96 and 0 <= c0 and c0 + nc <= 512
+    x = (lon - EXT.min_lon) / grid.lon_step
+    y = (lat - EXT.min_lat) / grid.lat_step
+    assert (np.floor(y) >= r0).all() and (np.floor(y) + 1 <= r0 + nr - 1).all()
+    assert (np.floor(x) >= c0).all() and (np.floor(x) + 1 <= c0 + nc - 1).all()
