@@ -49,6 +49,10 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--results", default="results/TestingResults_gridB.csv")
+    p.add_argument("--region-suffix", default="",
+                   help="appended to the Region column (e.g. '_seed7' for the "
+                   "untouched-mask-seed evaluation rows — the hyperparameter "
+                   "sweep only ever saw seed 42)")
     p.add_argument("--machine", default=None, help="default: TPU/CPU by platform")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (jax.config, pre-device-init)")
@@ -118,7 +122,8 @@ def main(argv=None):
     w = ResultsWriter(args.results, with_region=True, with_cold=True)
     w.append(
         machine, "Learned", "B", len(truth), ms, args.removal,
-        m["MAE"], m["RMSE"], m["MaxError"], region=args.region, cold_ms=cold,
+        m["MAE"], m["RMSE"], m["MaxError"],
+        region=args.region + args.region_suffix, cold_ms=cold,
     )
     log(f"appended Learned row to {args.results} ({ms:.2f} ms steady, {cold:.2f} ms warm e2e)")
 

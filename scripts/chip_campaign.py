@@ -99,18 +99,27 @@ def main():
             "--results", args.results_b,
         ])
 
-    # learned-baseline row: self-supervised masked-conv inpainter on the
-    # Mid-Atlantic tile (auvtpu.learned; no reference counterpart)
+    # learned-baseline rows: self-supervised masked-conv inpainter, trained
+    # and evaluated ON THE CHIP for every region (VERDICT r3 item 3) —
+    # checkpoints committed, plus an untouched-mask-seed eval (seed 7: the
+    # w16/d2/400 hyperparameters were only ever tuned on seed-42 masks)
     if not args.quick:
         try:
             from auvtpu.cli import learned_eval
 
-            learned_eval.main([
-                "--region", "mid_atlantic", "--removal", "0.01",
-                "--results", args.results_b,
-            ])
+            for region, removal in regions:
+                learned_eval.main([
+                    "--region", region, "--removal", removal,
+                    "--results", args.results_b,
+                    "--save-params", f"results/learned_{region}_w16d2.npz",
+                ])
+                learned_eval.main([
+                    "--region", region, "--removal", removal,
+                    "--seed", "7", "--region-suffix", "_seed7",
+                    "--results", args.results_b,
+                ])
         except Exception as e:  # flax missing or OOM must not junk the rest
-            print(f"learned row skipped: {type(e).__name__}: {e}", flush=True)
+            print(f"learned rows skipped: {type(e).__name__}: {e}", flush=True)
 
     figures.main(["--grid-a", args.results_a, "--grid-b", args.results_b])
     print("campaign done", flush=True)
