@@ -315,8 +315,13 @@ class BandRouter:
         x0, x1, y0, y1 = int(ext[0]), int(ext[1]) + 1, int(ext[2]), int(ext[3]) + 1
         r0 = max(0, min(y0, H - 2))
         c0 = max(0, min(x0, W - 2))
-        nrows = min(_ceil_to(max(y1 - r0 + 1, 8), 8), H - r0)
-        ncols = min(_ceil_to(max(x1 - c0 + 1, 128), 128), W - c0)
+        nrows = min(_ceil_to(max(y1 - r0 + 1, 8), 8), H)
+        ncols = min(_ceil_to(max(x1 - c0 + 1, 128), 128), W)
+        # keep the snapped size by shifting the origin down at the grid edge
+        # (alignment only degrades when the whole axis is smaller than one
+        # snap unit)
+        r0 = min(r0, H - nrows)
+        c0 = min(c0, W - ncols)
         return r0, nrows, c0, ncols
 
     def prepare(self, lons, lats, **fill_kw):

@@ -94,8 +94,10 @@ def test_band_resample_masked_plane():
     band = Band(plane=jnp.asarray(plane), vmask=jnp.asarray(vmask),
                 masked=True, row0=0, col0=0)
     rs = BandResampler(grid, band, chunk=64, win_rows=16, win_cols=64)
-    xs = np.array([40.5, 20.5, 41.2, 90.0])
-    ys = np.array([10.5, 5.5, 9.3, 20.0])  # q0 inside hole, q2 touches row 10
+    # q0 inside the hole, q2 touches hole row 10; all four fit one 16x64
+    # window based at the chunk min (col 20, row 5)
+    xs = np.array([40.5, 20.5, 41.2, 70.0])
+    ys = np.array([10.5, 5.5, 9.3, 14.0])
     lon = EXT.min_lon + xs * grid.lon_step
     lat = EXT.min_lat + ys * grid.lat_step
     z, ok = rs.resample(lon, lat)
