@@ -117,7 +117,12 @@ def _band_resample(plane, vmask, x, y, *, chunk: int, wr: int, wc: int, masked: 
         (riota == ly0c[:, :, None]).astype(dt) * (1 - wy)[:, :, None]
         + (riota == (ly0c + 1)[:, :, None]).astype(dt) * wy[:, :, None]
     )
-    rows_v = jnp.einsum("ncr,nrw->ncw", mrow, win)
+    # precision=HIGHEST is load-bearing: the TPU default lowers f32 matmuls
+    # to single-pass bf16 (8-bit mantissa -> ~16 m quantization at 4 km
+    # elevations; measured maxabs 24 m on the bench tile before this fix —
+    # the same silent-bf16 class as the round-2 kNN scrambling incident)
+    rows_v = jnp.einsum("ncr,nrw->ncw", mrow, win,
+                        precision=jax.lax.Precision.HIGHEST)
     ciota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wc), 2)
     mcol = (
         (ciota == lx0c[:, :, None]).astype(dt) * (1 - wx)[:, :, None]
@@ -125,7 +130,8 @@ def _band_resample(plane, vmask, x, y, *, chunk: int, wr: int, wc: int, masked: 
     )
     z = (rows_v * mcol).sum(axis=2)
     if masked:
-        rows_m = jnp.einsum("ncr,nrw->ncw", mrow, winm)
+        rows_m = jnp.einsum("ncr,nrw->ncw", mrow, winm,
+                            precision=jax.lax.Precision.HIGHEST)
         wsum = (rows_m * mcol).sum(axis=2)
         ok = ok & (wsum > 1.0 - 1e-3)
     z = jnp.where(ok, z, jnp.nan)
@@ -164,6 +170,7 @@ def fill_band(
     convention: str = "reference",
     vparams=None,
     model: str = "exponential",
+    assume_masked: bool | None = None,
 ) -> Band:
     """Dense-fill a [row0:row0+nrows, col0:col0+ncols] band of ``grid``.
 
@@ -214,7 +221,13 @@ def fill_band(
     plane = jnp.where(va > 0.5, ev, filled)
     vmask = jnp.where(jnp.isnan(plane), 0.0, 1.0).astype(grid.dtype)
     plane = jnp.where(jnp.isnan(plane), 0.0, plane)
-    masked = bool(jnp.min(vmask) < 0.5)  # static: resolves the fast path
+    if assume_masked is None:
+        masked = bool(jnp.min(vmask) < 0.5)  # static fast-path pick; 1 sync
+    else:
+        # caller-pinned (refresh/benchmark path, no device sync); True is
+        # always-correct (the vmask channel rides along), False asserts the
+        # fill covers everything — only pin False after a synced build said so
+        masked = bool(assume_masked)
     return Band(plane=plane, vmask=vmask, masked=masked, row0=row0, col0=col0)
 
 
@@ -331,6 +344,27 @@ class BandRouter:
             self.grid, r0, nr, c0, nc, margin=self.margin,
             fill_backend=self.fill_backend, convention=self.convention,
             **fill_kw,
+        )
+        self._resampler = BandResampler(
+            self.grid, self._band, chunk=self.chunk,
+            win_rows=self.win_rows, win_cols=self.win_cols,
+        )
+        return self._band
+
+    def refresh(self, grid: RegularGrid | None = None, **fill_kw):
+        """Refill the CURRENT band geometry (serving mode: new observations
+        arrived, queries stay band-confined).  Skips the bbox readback and
+        pins the masked flag from the synced build — zero host round trips
+        beyond the fill dispatch itself."""
+        if self._band is None:
+            raise RuntimeError("refresh() before prepare()")
+        if grid is not None:
+            self.grid = grid
+        b = self._band
+        self._band = fill_band(
+            self.grid, b.row0, b.shape[0], b.col0, b.shape[1],
+            margin=self.margin, fill_backend=self.fill_backend,
+            convention=self.convention, assume_masked=b.masked, **fill_kw,
         )
         self._resampler = BandResampler(
             self.grid, self._band, chunk=self.chunk,

@@ -69,6 +69,10 @@ def main():
 
     # --- 1. packed path on the trajectory ---------------------------------
     tt = TwoTierInterpolator(grid)  # auto -> transposed on TPU
+    # escalation census (explains any gap vs the random-batch rate: each
+    # unresolved chunk adds a 16k-cap slow-path dispatch + scatter)
+    mask, bad = tt._resolved_mask(lon_d, lat_d, 4)
+    print(f"two-tier unresolved on trajectory: {int(bad)} / {N}", flush=True)
     ms = steady_state_ms(lambda: tt.kriging(lon_d, lat_d), iters=8, warmup=2)
     packed_rate = N / ms / 1e3
     print(f"packed transposed kriging (trajectory): {ms:8.2f} ms  {packed_rate:7.1f} M pts/s", flush=True)
@@ -86,9 +90,10 @@ def main():
     print(f"band: rows {band.row0}+{band.shape[0]}, cols {band.col0}+{band.shape[1]} "
           f"({band.cells/1e6:.2f}M cells, masked={band.masked}); "
           f"fill+build cold {fill_cold_s*1e3:.0f} ms", flush=True)
+    # serving-mode refresh: same band geometry, no bbox/masked host syncs
     fill_ms = steady_state_ms(
-        lambda: router.prepare(lon_d, lat_d).plane, iters=4, warmup=1)
-    print(f"band fill steady: {fill_ms:8.2f} ms ({fill_ms*1e6/band.cells:.1f} ns/cell)", flush=True)
+        lambda: router.refresh().plane, iters=4, warmup=1)
+    print(f"band refresh steady: {fill_ms:8.2f} ms ({fill_ms*1e6/band.cells:.1f} ns/cell)", flush=True)
 
     rs = router._resampler
     ms_r = steady_state_ms(lambda: rs.resample(lon_d, lat_d)[0], iters=8, warmup=2)
