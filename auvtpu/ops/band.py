@@ -270,12 +270,18 @@ class BandResampler:
         return z[:n], ok[:n]
 
 
-# measured chip constants (ns per unit), calibrated in scripts/band_probe.py;
-# used only for ROUTING decisions so ~2x error is harmless
+# measured chip constants (ns per unit), calibrated by scripts/band_probe.py
+# (results/band_probe_r4.txt); used only for ROUTING decisions.  The packed
+# constant is its RANDOM-batch rate (its best case): measured on a dense
+# band-confined trajectory the packed path actually degrades ~2x (17.3 ns/q,
+# gather-unit conflicts on heavily duplicated stencil rows), so this model
+# deliberately over-credits packed — marginal one-shot cases route packed and
+# still serve fine, while serving-mode (band_ready) batches route band on
+# honest numbers.
 COST_NS = {
-    "packed_per_query": 8.3,    # 120.4 M pts/s transposed kriging (r3)
-    "fill_per_cell": 9.5,       # ~105 M cells/s fused dense kriging fill
-    "resample_per_query": 2.0,  # chunked MXU resample (band_probe)
+    "packed_per_query": 8.3,    # 120.4 M pts/s transposed kriging, random 5M
+    "fill_per_cell": 67.0,      # narrow-band fused fill, 120-row band (r4)
+    "resample_per_query": 5.7,  # chunked MXU resample, HIGHEST precision (r4)
 }
 
 
