@@ -69,6 +69,18 @@ def _slab_shape(radius: int, th: int, tw: int):
     return sh, sw
 
 
+def _clamp_tile(shape, tile):
+    """Shrink a requested tile to the grid it will cover: a tile larger than
+    the (8,128)-aligned plane pads every block with dead cells — a 12x64
+    sharded band under the (64,256) bench-winning default would run 21x the
+    work.  Keeps sublane multiples of 8 and lane multiples of 128 (the f32
+    vector tiling)."""
+    H, W = shape
+    th = min(tile[0], max(8, -(-H // 8) * 8))
+    tw = min(tile[1], max(128, -(-W // 128) * 128))
+    return th, tw
+
+
 def _window_reader(slab_ref, radius, th, tw):
     """Return window(dy, dx) -> (th, tw) view of the slab shifted by the
     (traced) offsets.  Mosaic requires sublane-dim dynamic slices to be
@@ -305,7 +317,8 @@ def _pallas_fill(grid: RegularGrid, *, kind: str, k: int, power: float, max_radi
     from jax.experimental.pallas import tpu as pltpu
 
     R = max_radius
-    th, tw = tile
+    th, tw = _clamp_tile(grid.shape, tile)
+    tile = (th, tw)
     H, W = grid.shape
     pe, pv, Hp, Wp = _pad_for_tiles(grid, tile, R)
     dxs, dys, d2s, live, n_chunks = _padded_tables(R)
@@ -436,7 +449,8 @@ def pallas_topk_idx(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, tile
     from jax.experimental.pallas import tpu as pltpu
 
     R = max_radius
-    th, tw = tile
+    th, tw = _clamp_tile(grid.shape, tile)
+    tile = (th, tw)
     H, W = grid.shape
     _, pv, Hp, Wp = _pad_for_tiles(grid, tile, R)
     dxs, dys, d2s, live, n_chunks = _padded_tables(R)
@@ -563,7 +577,8 @@ def pallas_topk_full(grid: RegularGrid, *, k: int = 4, max_radius: int = 10, til
     from jax.experimental.pallas import tpu as pltpu
 
     R = max_radius
-    th, tw = tile
+    th, tw = _clamp_tile(grid.shape, tile)
+    tile = (th, tw)
     H, W = grid.shape
     # NaN-encoded single slab: invalid and out-of-grid cells are NaN
     nan_grid = RegularGrid(
@@ -848,7 +863,7 @@ def pallas_fill_kriging(grid: RegularGrid, *, max_radius: int = 10, tile=(64, 25
     if vparams is None:
         vparams = (cfg.variogram.nugget, cfg.variogram.sill, cfg.variogram.range)
     R = max_radius
-    th, tw = tile
+    th, tw = _clamp_tile(grid.shape, tile)
     H, W = grid.shape
     sh, sw = _slab_shape(R, th, tw)
     Hp = -(-H // th) * th
