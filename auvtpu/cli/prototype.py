@@ -57,9 +57,25 @@ def main(argv=None):
         help="append reference-schema rows (GridType=P, Machine suffixed "
         "with the density) to this CSV",
     )
+    p.add_argument(
+        "--crop", type=int, nargs=2, metavar=("H", "W"), default=None,
+        help="use only the top-left HxW corner of the tile (fast smoke runs; "
+        "the extent is rescaled to the crop so query coordinates stay valid)",
+    )
     args = p.parse_args(argv)
 
     elev, ext = load_region(args.region, args.gebco_root)
+    if args.crop is not None:
+        from ..config import Extent
+
+        ch, cw = args.crop
+        ch, cw = min(ch, elev.shape[0]), min(cw, elev.shape[1])
+        # rescale the extent so cell spacing is preserved on the crop
+        dlat = (ext.max_lat - ext.min_lat) / (elev.shape[0] - 1)
+        dlon = (ext.max_lon - ext.min_lon) / (elev.shape[1] - 1)
+        elev = elev[:ch, :cw]
+        ext = Extent(ext.min_lon, ext.min_lon + dlon * (cw - 1),
+                     ext.min_lat, ext.min_lat + dlat * (ch - 1))
     print(f"{args.region}: {elev.shape[1]} x {elev.shape[0]} cells, sampling {args.subset:.1%} ({args.density})")
     span = np.nanmax(elev) - np.nanmin(elev)
 

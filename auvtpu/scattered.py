@@ -465,6 +465,9 @@ def sample_and_reconstruct(
     mapped corridor, sparse context elsewhere).  This is the variable-
     density regime adaptive IDW's per-query power matching targets."""
     H, W = elev.shape
+    # a chunk larger than the grid only pads (the whole grid is one chunk
+    # anyway); keep it 512-aligned so the compiled shape stays friendly
+    target_chunk = min(target_chunk, -(-H * W // 512) * 512)
     rng = np.random.RandomState(seed)
     n = int(H * W * subset_fraction)
     if density == "uniform":

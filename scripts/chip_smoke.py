@@ -169,6 +169,35 @@ def main():
     finally:
         jax.config.update("jax_enable_x64", False)
 
+    # ---- trajectory-band resample (the r4 bf16-einsum regression surface) -
+    # the row-weight matmul + column one-hot reduce must run precision=HIGHEST
+    # on chip: with the TPU default (single-pass bf16) the resample was off by
+    # up to 24 m (results/band_probe_r4.txt)
+    from auvtpu.ops.band import BandResampler, fill_band
+
+    band = fill_band(grid, 64, 64, 0, W, method="kriging")
+    rs = BandResampler(grid, band, chunk=256, win_rows=32, win_cols=128)
+    tn = 4000
+    t = np.linspace(0.0, 1.0, tn)
+    bx = np.clip(1.0 + t * (W - 3) + rng.normal(0, 0.05, tn), 0.5, W - 1.5)
+    by = np.clip(64 + 32 * (0.5 + 0.4 * np.sin(t * 30 * np.pi)) + rng.normal(0, 0.05, tn), 0.5, H - 1.5)
+    blon = ext.min_lon + bx * gref.lon_step
+    blat = ext.min_lat + by * gref.lat_step
+    bz, bok = rs.resample(blon, blat)
+    bz, bok = np.asarray(bz), np.asarray(bok)
+    p64 = np.asarray(band.plane, np.float64)
+    x = bx - band.col0
+    y = by - band.row0
+    x0, y0 = np.floor(x).astype(int), np.floor(y).astype(int)
+    wx, wy = x - x0, y - y0
+    want_b = ((1 - wy) * ((1 - wx) * p64[y0, x0] + wx * p64[y0, x0 + 1])
+              + wy * ((1 - wx) * p64[y0 + 1, x0] + wx * p64[y0 + 1, x0 + 1]))
+    ok_frac = float(bok.mean())
+    e = np.abs(bz[bok] - want_b[bok])
+    band_ok = ok_frac > 0.9 and (e.max() < 5e-3 if bok.any() else False)
+    check("band_resample f32 on-chip", band_ok,
+          f"resolved={ok_frac:.3f} maxabs={e.max():.2e}")
+
     # ---- scattered prototype kNN (the bf16 regression surface) -----------
     from auvtpu.scattered import knn_search
 

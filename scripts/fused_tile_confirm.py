@@ -20,16 +20,18 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CANDIDATES = (
-    # (tile, solver, prefetch-depth); depth matters more post-peel (chunk-0
-    # compute shrank, so the DMA ring may need to run deeper to stay hidden)
-    ((32, 128), "lu", 2),   # current default
-    ((32, 128), "gj", 2),
-    ((32, 128), "lu", 3),
-    ((32, 256), "lu", 2),
-    ((64, 128), "lu", 2),
-    ((64, 128), "gj", 2),
-    ((64, 128), "lu", 3),
-    ((64, 256), "gj", 2),
+    # (tile, solver, prefetch-depth).  Round-4 extension: fused_breakdown2
+    # showed the kernel is per-tile-DMA-latency-bound, so sweep LARGER tiles
+    # (fewer tiles amortize the latency); (128,512) is excluded — ~40 VMEM
+    # value planes at 256Ki cells would blow the 16M scoped-vmem budget.
+    ((64, 256), "gj", 2),   # current default (r4 winner at 4.90 ms)
+    ((64, 256), "gj", 3),
+    ((64, 512), "gj", 2),
+    ((128, 256), "gj", 2),
+    ((128, 256), "gj", 3),
+    ((64, 512), "lu", 2),
+    ((128, 256), "lu", 2),
+    ((128, 512), "gj", 2),  # expected VMEM-reject; keep to confirm the bound
 )
 ROUNDS = 5
 
@@ -55,12 +57,23 @@ def main():
     n = len(truth)
     print(f"grid {reduced.shape}, {n} masked, {ROUNDS} interleaved rounds", flush=True)
 
-    # compile + parity check everything up front so timing rounds are pure
+    # compile + parity check everything up front so timing rounds are pure;
+    # oversized tiles may be VMEM-rejected by Mosaic — drop them, don't die
     ref = None
+    live = []
     for tile, solver, pf in CANDIDATES:
-        out = np.asarray(
-            pallas_fill_kriging(grid, tile=tile, solver=solver, prefetch=pf)
-        )
+        try:
+            out = np.asarray(
+                pallas_fill_kriging(grid, tile=tile, solver=solver, prefetch=pf)
+            )
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"tile={tile} solver={solver} pf={pf} REJECTED: "
+                f"{str(e).splitlines()[0][:140]}",
+                flush=True,
+            )
+            continue
+        live.append((tile, solver, pf))
         if ref is None:
             ref = out
         else:
@@ -72,9 +85,9 @@ def main():
                 flush=True,
             )
 
-    times = {c: [] for c in CANDIDATES}
+    times = {c: [] for c in live}
     for r in range(ROUNDS):
-        for tile, solver, pf in CANDIDATES:
+        for tile, solver, pf in live:
             ms = steady_state_ms(
                 lambda tile=tile, solver=solver, pf=pf: pallas_fill_kriging(
                     grid, tile=tile, solver=solver, prefetch=pf

@@ -27,6 +27,9 @@ jax.config.update(
     "jax_compilation_cache_dir",
     str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache_cpu"),
 )
+# cache even fast compiles: the suite jits hundreds of small shapes on one
+# slow core; sub-second compiles add minutes in aggregate
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 assert not jax._src.xla_bridge.backends_are_initialized(), (
     "JAX backend initialized before tests/conftest.py could select CPU"
 )

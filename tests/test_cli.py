@@ -59,6 +59,7 @@ def test_bench_grid_a_cli_selection_exact(tmp_path):
     assert set(df["InterpolationType"]) == {"Bilinear", "Cubic", "Kriging"}
 
 
+@pytest.mark.slow  # fused-vs-XLA parity is covered in test_pallas; this adds only CLI plumbing
 def test_bench_grid_a_cli_fused_backend(tmp_path):
     # the fused Pallas scattered backend through the CLI (interpret mode)
     from jax.experimental.pallas import tpu as pltpu
@@ -243,11 +244,13 @@ def test_stream_demo_cli(tmp_path):
 
 
 def test_prototype_cli(capsys, tmp_path):
+    # fast smoke: same flow as the full-tile run, on a 220x260 crop
     from auvtpu.cli.prototype import main
 
     res = str(tmp_path / "proto.csv")
     main(["--region", "mid_atlantic", "--subset", "0.02", "--methods", "idw",
-          "--k", "8", "--density", "strip", "--results", res])
+          "--k", "8", "--density", "strip", "--results", res,
+          "--crop", "120", "160"])
     out = capsys.readouterr().out
     assert "idw" in out and "% of range" in out and "(strip)" in out
     import pandas as pd
@@ -256,6 +259,21 @@ def test_prototype_cli(capsys, tmp_path):
     assert list(df["Machine"]) == ["TPU-proto-strip"]
     assert list(df["GridType"]) == ["P"]
     assert df["MAE"].iloc[0] > 0 and df["RMSE"].iloc[0] >= df["MAE"].iloc[0]
+
+
+@pytest.mark.slow
+def test_prototype_cli_full_tile(capsys, tmp_path):
+    from auvtpu.cli.prototype import main
+
+    res = str(tmp_path / "proto_full.csv")
+    main(["--region", "mid_atlantic", "--subset", "0.02", "--methods", "idw",
+          "--k", "8", "--density", "strip", "--results", res])
+    out = capsys.readouterr().out
+    assert "idw" in out and "% of range" in out and "(strip)" in out
+    import pandas as pd
+
+    df = pd.read_csv(res)
+    assert list(df["Machine"]) == ["TPU-proto-strip"]
 
 
 def test_fig_variogram_models(tmp_path):

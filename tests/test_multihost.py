@@ -47,6 +47,7 @@ def _single_process_reference():
     return [float(v) for v in vparams] + [float(jnp.nansum(plane))]
 
 
+@pytest.mark.slow  # real 2-process cluster: heavy; dryrun_multichip covers the mesh path
 def test_two_process_cluster_matches_single_process():
     # child bound: the internal communicate(timeout=480) caps the subprocesses
     # (pytest-timeout is not installed, so a mark here would be a no-op)

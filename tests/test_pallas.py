@@ -44,6 +44,7 @@ def test_pallas_idw_matches_xla(grid):
     np.testing.assert_allclose(got[both], want[both], rtol=1e-5, atol=1e-3)
 
 
+@pytest.mark.slow  # variant of the fill kernel; idw gates the same code path
 def test_pallas_mean_matches_xla(grid):
     from auvtpu.pallas import pallas_fill_mean
 
@@ -66,6 +67,7 @@ def test_pallas_topk_idx_matches_xla(grid):
         np.testing.assert_array_equal(np.asarray(idx_p[s]), np.asarray(idx_x[s]))
 
 
+@pytest.mark.slow  # variant: topk_idx gates the kernel; this adds the full-payload form
 def test_pallas_topk_full_matches_xla(grid):
     from auvtpu.pallas import pallas_topk_full
     from auvtpu.ops.dense import window_topk_planes
@@ -84,6 +86,7 @@ def test_pallas_topk_full_matches_xla(grid):
         np.testing.assert_array_equal(np.asarray(dys_p[s])[live], np.asarray(dys_x[s])[live])
 
 
+@pytest.mark.slow  # backend plumbing over the same kernel as the fused test
 def test_fill_kriging_pallas_backend_matches_xla(grid):
     from auvtpu.ops import fill_kriging
 
@@ -123,6 +126,7 @@ def pack(grid):
     return StencilPack(grid, window_radius=2)
 
 
+@pytest.mark.slow  # non-default (non-transposed) packed kernels; valid_select_t gates the default
 def test_pallas_window_select_matches_packs(grid, pack, scattered_queries):
     from auvtpu.ops.packs import packed_window_select
     from auvtpu.pallas import pallas_window_select
@@ -143,6 +147,7 @@ def test_pallas_window_select_matches_packs(grid, pack, scattered_queries):
     )
 
 
+@pytest.mark.slow  # non-default packed kernel variant
 def test_pallas_packed_kriging_matches_packs(grid, pack, scattered_queries):
     from auvtpu.ops.packs import packed_kriging
     from auvtpu.pallas import pallas_packed_kriging
@@ -158,6 +163,7 @@ def test_pallas_packed_kriging_matches_packs(grid, pack, scattered_queries):
     np.testing.assert_allclose(got[both], want[both], rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow  # non-default packed kernel variant
 def test_pallas_packed_kriging_centered_matches_packs(grid, pack, scattered_queries):
     from auvtpu.ops.packs import packed_kriging
     from auvtpu.pallas import pallas_packed_kriging
@@ -177,6 +183,7 @@ def test_pallas_packed_kriging_centered_matches_packs(grid, pack, scattered_quer
     np.testing.assert_allclose(got[both], want[both], rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow  # non-default packed kernel variant
 def test_pallas_packed_idw_matches_packs(grid, pack, scattered_queries):
     from auvtpu.ops.packs import packed_idw
     from auvtpu.pallas import pallas_packed_idw
@@ -192,6 +199,7 @@ def test_pallas_packed_idw_matches_packs(grid, pack, scattered_queries):
     np.testing.assert_allclose(got[both], want[both], rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow  # non-default packed kernel variant
 def test_pallas_packed_kriging_fitted_vparams(grid, pack, scattered_queries):
     """Traced (fitted) variogram params flow through the scalar-prefetch par
     vector without retracing errors."""
@@ -228,6 +236,7 @@ def test_pallas_fused_kriging_centered_matches_xla(grid):
     np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
 
 
+@pytest.mark.slow  # zoo variants of the fused kernel (exponential gated fast)
 @pytest.mark.parametrize("model", ["spherical", "gaussian", "linear"])
 def test_pallas_fused_kriging_model_zoo_matches_xla(grid, model):
     from auvtpu.ops import fill_kriging
@@ -332,6 +341,7 @@ def test_pallas_packed_kriging_t_matches_packed(scattered_queries, grid, masked)
     np.testing.assert_allclose(got[both], want[both], rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow  # radius variant of the select kernel
 def test_pallas_window_select_radius3(grid, scattered_queries):
     # P=64 / 2 sub-blocks per row: the kernel's sub-block masking must hold
     # for non-default radii too
@@ -353,6 +363,7 @@ def test_pallas_window_select_radius3(grid, scattered_queries):
         )
 
 
+@pytest.mark.slow  # alternate solver; gj (default) gated fast
 def test_pallas_fused_kriging_lu_matches_gj(grid):
     """The LU (forward elim + back-sub) solve must agree with the
     Gauss-Jordan solve to f32 roundoff on the same selected neighborhoods
@@ -367,6 +378,7 @@ def test_pallas_fused_kriging_lu_matches_gj(grid):
     np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow  # edge geometry; _clamp_tile unit test gates the fast lane
 def test_pallas_single_tile_grid():
     """One-program grids exercise the double-buffer warmup-only path (the
     steady-state prefetch branch never fires when lin == last)."""
@@ -414,6 +426,7 @@ def test_pallas_fill_kriging_variance_matches_xla(grid):
     assert np.array_equal(plain, a, equal_nan=True)
 
 
+@pytest.mark.slow  # subplane geometry also exercised by the sharded fused test
 def test_pallas_fill_kriging_subplane_matches_xla(grid):
     """row0/col0/steps (sharded-block geometry) must match the XLA path."""
     from auvtpu.ops import fill_kriging
@@ -428,6 +441,7 @@ def test_pallas_fill_kriging_subplane_matches_xla(grid):
     np.testing.assert_allclose(a[both], b[both], rtol=1e-4, atol=0.05)
 
 
+@pytest.mark.slow  # peel edge case (radius 1, no dynamic chunks)
 def test_pallas_pure_peel_radius1(grid):
     """max_radius=1: the offset table IS chunk 0, so the while_loop body
     never runs — the peel must stand alone (boundary of the chunk-0 peel)."""
@@ -443,3 +457,16 @@ def test_pallas_pure_peel_radius1(grid):
         assert (np.isnan(got) == np.isnan(want)).all()
         m = ~np.isnan(want)
         np.testing.assert_allclose(got[m], want[m], rtol=1e-5, atol=1e-3)
+
+
+def test_clamp_tile_shrinks_to_grid():
+    # pure-function gate for the small-grid path (the interpret-mode
+    # single-tile test is slow-marked): a requested tile larger than the
+    # (8,128)-aligned plane must shrink to it, preserving alignment
+    from auvtpu.pallas.window_fill import _clamp_tile
+
+    assert _clamp_tile((12, 64), (64, 256)) == (16, 128)
+    assert _clamp_tile((96, 80), (32, 32)) == (32, 32)      # no-op when smaller
+    assert _clamp_tile((96, 80), (64, 256)) == (64, 128)
+    assert _clamp_tile((7, 100), (64, 256)) == (8, 128)     # floors at one vreg tile
+    assert _clamp_tile((2000, 3000), (64, 256)) == (64, 256)

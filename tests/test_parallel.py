@@ -128,7 +128,11 @@ def test_sharded_fill2d_small_blocks_and_pad():
     np.testing.assert_allclose(got[both], want[both], rtol=2e-5, atol=2e-3)
 
 
-@pytest.mark.parametrize("method", ["idw", "window_mean", "kriging"])
+@pytest.mark.parametrize("method", [
+    pytest.param("idw", marks=pytest.mark.slow),
+    pytest.param("window_mean", marks=pytest.mark.slow),
+    "kriging",  # the default serving method gates the fused-in-shard_map path fast
+])
 def test_sharded_fill_fused_backend_matches_xla(masked_grid, method):
     """backend='fused' (per-block Pallas kernels inside shard_map) must agree
     with the XLA backend (interpret mode on the virtual mesh)."""
@@ -145,6 +149,7 @@ def test_sharded_fill_fused_backend_matches_xla(masked_grid, method):
     np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=0.05)
 
 
+@pytest.mark.slow  # fused-in-shard_map parity already covered by test_sharded_fill_fused_backend
 def test_sharded_fit_fill_fused_backend_matches_xla(masked_grid):
     from jax.experimental.pallas import tpu as pltpu
 

@@ -192,9 +192,9 @@ def test_window_uncertainty_surface(si):
     assert gaps.any() and (vmap_[gaps] > 0).all()
 
 
-def test_window_fill_fused_backend_matches_xla():
+def _window_fill_fused_case(methods, variance):
     """backend='fused' (Pallas window kernels) must agree with the XLA path
-    for every method and for the variance surface (interpret mode)."""
+    (interpret mode)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from auvtpu.config import Extent
@@ -205,7 +205,7 @@ def test_window_fill_fused_backend_matches_xla():
     rows = rng.randint(0, H, 500)
     cols = rng.randint(0, W, 500)
     vals = rng.normal(-500.0, 30.0, 500).astype(np.float32)
-    for method in ("idw", "mean", "kriging"):
+    for method in methods:
         a = StreamingInterpolator((H, W), ext, window=(32, 32), method=method,
                                   backend="xla")
         b = StreamingInterpolator((H, W), ext, window=(32, 32), method=method,
@@ -221,12 +221,22 @@ def test_window_fill_fused_backend_matches_xla():
         assert (np.isnan(ta) == np.isnan(tb)).all()
         m = ~np.isnan(ta)
         np.testing.assert_allclose(tb[m], ta[m], rtol=1e-4, atol=0.05)
-    # variance surface
-    va, _ = a.window_uncertainty(H // 2, W // 2)
-    with pltpu.force_tpu_interpret_mode():
-        vb, _ = b.window_uncertainty(H // 2, W // 2)
-        vb = np.asarray(vb)
-    va = np.asarray(va)
-    assert (np.isnan(va) == np.isnan(vb)).all()
-    m = ~np.isnan(va)
-    np.testing.assert_allclose(vb[m], va[m], rtol=1e-3, atol=0.05)
+    if variance:
+        va, _ = a.window_uncertainty(H // 2, W // 2)
+        with pltpu.force_tpu_interpret_mode():
+            vb, _ = b.window_uncertainty(H // 2, W // 2)
+            vb = np.asarray(vb)
+        va = np.asarray(va)
+        assert (np.isnan(va) == np.isnan(vb)).all()
+        m = ~np.isnan(va)
+        np.testing.assert_allclose(vb[m], va[m], rtol=1e-3, atol=0.05)
+
+
+def test_window_fill_fused_backend_matches_xla():
+    # fast slice: the default serving method (kriging) + its variance surface
+    _window_fill_fused_case(("kriging",), variance=True)
+
+
+@pytest.mark.slow
+def test_window_fill_fused_backend_matches_xla_all_methods():
+    _window_fill_fused_case(("idw", "mean"), variance=False)

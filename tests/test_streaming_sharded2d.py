@@ -37,6 +37,7 @@ def test_planes_bit_equal(pair):
     assert np.array_equal(single.snapshot(), sharded.snapshot(), equal_nan=True)
 
 
+@pytest.mark.slow  # 2-D twin of the 1-D bit-equality suite
 def test_window_fill_bit_equal(pair):
     single, sharded = pair
     for center in [(H // 2, W // 2), (0, 0), (H - 1, W - 1), (3, W - 2)]:
@@ -46,6 +47,7 @@ def test_window_fill_bit_equal(pair):
         assert np.array_equal(np.asarray(ta), np.asarray(tb), equal_nan=True)
 
 
+@pytest.mark.slow  # 2-D twin of the 1-D fit/uncertainty suite
 def test_fit_and_uncertainty_match(pair):
     single, sharded = pair
     vp_a = np.asarray(single.fit_variogram(max_lag=5))
