@@ -111,7 +111,16 @@ def _band_resample(plane, vmask, x, y, *, chunk: int, wr: int, wc: int, masked: 
             lambda byi, bxi: jax.lax.dynamic_slice(plane, (byi, bxi), (wr, wc))
         )(by, bx)
 
-    # row-lerp folded into the extraction matmul: (nch, chunk, wr) @ (nch, wr, wc)
+    return _lerp_window(win, winm if masked else None, ly0c, lx0c, wy, wx, ok)
+
+
+def _lerp_window(win, winm, ly0c, lx0c, wy, wx, ok):
+    """Shared bilinear-from-window block: row-lerp folded into the extraction
+    matmul (nch, chunk, wr) @ (nch, wr, wc), column pick + x-lerp as one fused
+    weighted reduce.  winm=None means the band/atlas is fully defined."""
+    dt = win.dtype
+    wr = win.shape[1]
+    wc = win.shape[2]
     riota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wr), 2)
     mrow = (
         (riota == ly0c[:, :, None]).astype(dt) * (1 - wy)[:, :, None]
@@ -129,7 +138,7 @@ def _band_resample(plane, vmask, x, y, *, chunk: int, wr: int, wc: int, masked: 
         + (ciota == (lx0c + 1)[:, :, None]).astype(dt) * wx[:, :, None]
     )
     z = (rows_v * mcol).sum(axis=2)
-    if masked:
+    if winm is not None:
         rows_m = jnp.einsum("ncr,nrw->ncw", mrow, winm,
                             precision=jax.lax.Precision.HIGHEST)
         wsum = (rows_m * mcol).sum(axis=2)
@@ -270,6 +279,243 @@ class BandResampler:
         return z[:n], ok[:n]
 
 
+@partial(jax.jit, static_argnames=("chunk", "wr", "wc", "masked", "pick"))
+def _atlas_resample(planes, vmasks, origins, x, y, *, chunk: int, wr: int,
+                    wc: int, masked: bool, pick: bool = True):
+    """Chunked windowed bilinear over a K-page band atlas.
+
+    planes:  (K, R, C) filled page values (NaN-free; undefined cells carry 0
+             with vmask=0).  All pages share one shape — the page index is a
+             per-chunk coordinate of ONE 3-D dynamic slice, so serving cost
+             is identical to the single-band `_band_resample` regardless of K.
+    vmasks:  (K, R, C) definedness (used when ``masked``).
+    origins: (K, 2) page (row0, col0) in grid-frame cells (planes' dtype).
+    x, y:    (N,) continuous GRID-frame coords, N % chunk == 0.
+    pick:    static; False skips the page-containment test (K == 1 fast path,
+             bit-compatible with `_band_resample`).
+
+    Each chunk is routed to the page containing its bounding-box center;
+    queries are then checked per-corner against that page exactly as the
+    single-band kernel does, so straddling queries report unresolved and
+    escalate rather than read a wrong page.
+    """
+    K, R, C = planes.shape
+    dt = planes.dtype
+    n = x.shape[0]
+    nch = n // chunk
+    xc = x.reshape(nch, chunk)
+    yc = y.reshape(nch, chunk)
+
+    if pick:
+        cx = 0.5 * (jnp.min(xc, axis=1) + jnp.max(xc, axis=1))   # (nch,)
+        cy = 0.5 * (jnp.min(yc, axis=1) + jnp.max(yc, axis=1))
+        r0 = origins[:, 0][None, :]                              # (1, K)
+        c0 = origins[:, 1][None, :]
+        fits = (
+            (cx[:, None] >= c0) & (cx[:, None] <= c0 + (C - 1))
+            & (cy[:, None] >= r0) & (cy[:, None] <= r0 + (R - 1))
+        )                                                        # (nch, K)
+        any_fit = jnp.any(fits, axis=1)
+        page = jnp.argmax(fits, axis=1).astype(jnp.int32)        # first fit
+    else:
+        any_fit = jnp.ones((nch,), bool)
+        page = jnp.zeros((nch,), jnp.int32)
+    org = origins[page]                                          # (nch, 2)
+    xb = xc - org[:, 1][:, None]
+    yb = yc - org[:, 0][:, None]
+
+    x0 = jnp.floor(xb).astype(jnp.int32)
+    y0 = jnp.floor(yb).astype(jnp.int32)
+    wx = (xb - x0).astype(dt)
+    wy = (yb - y0).astype(dt)
+    bx = jnp.clip(jnp.min(x0, axis=1), 0, max(C - wc, 0))
+    by = jnp.clip(jnp.min(y0, axis=1), 0, max(R - wr, 0))
+    lx0 = x0 - bx[:, None]
+    ly0 = y0 - by[:, None]
+    ok = (
+        (lx0 >= 0) & (lx0 <= wc - 2) & (ly0 >= 0) & (ly0 <= wr - 2)
+        & (x0 >= 0) & (x0 <= C - 2) & (y0 >= 0) & (y0 <= R - 2)
+        & any_fit[:, None]
+    )
+    lx0c = jnp.clip(lx0, 0, wc - 2)
+    ly0c = jnp.clip(ly0, 0, wr - 2)
+
+    if masked:
+        stacked = jnp.concatenate([planes, vmasks], axis=2)      # (K, R, 2C)
+        win = jax.vmap(
+            lambda pi, byi, bxi: jax.lax.dynamic_slice(
+                stacked, (pi, byi, bxi), (1, wr, wc))[0]
+        )(page, by, bx)
+        winm = jax.vmap(
+            lambda pi, byi, bxi: jax.lax.dynamic_slice(
+                stacked, (pi, byi, bxi + C), (1, wr, wc))[0]
+        )(page, by, bx)
+    else:
+        win = jax.vmap(
+            lambda pi, byi, bxi: jax.lax.dynamic_slice(
+                planes, (pi, byi, bxi), (1, wr, wc))[0]
+        )(page, by, bx)
+        winm = None
+    return _lerp_window(win, winm, ly0c, lx0c, wy, wx, ok)
+
+
+def plan_segments(x, y, *, chunk: int = 512, max_bands: int = 8,
+                  page_overhead_cells: int = 8192, grid_shape=None):
+    """Greedy segmentation of an ORDERED trajectory into tile-snapped bands.
+
+    A single bbox band pays for the whole query hull: a diagonal or L-shaped
+    mission with a thin corridor fills bbox_area >> corridor_area cells.
+    Splitting the (spatially coherent) trajectory into consecutive segments
+    makes total fill cost track the corridor instead.  Greedy rule: extend
+    the current segment while the snapped-area increase of absorbing the
+    next chunk is no larger than opening a fresh band for it (its own
+    snapped area + ``page_overhead_cells`` of fixed per-band cost); then cut.
+    Adjacent segments are re-merged cheapest-first down to ``max_bands``.
+
+    x, y are grid-frame continuous coords (device or host arrays).  Returns a
+    list of (r0, c0, nrows, ncols) snapped exactly like
+    ``BandRouter.band_bbox`` (rows x8, cols x128, +1-cell bilinear support),
+    clipped to ``grid_shape`` when given.  A band-confined trajectory yields
+    one segment — segmentation never hurts the confined case.
+    """
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n = x.shape[0]
+    if n == 0:
+        raise ValueError("empty trajectory")
+    pad = (-n) % chunk
+    if pad:
+        x = np.concatenate([x, np.broadcast_to(x[-1], (pad,))])
+        y = np.concatenate([y, np.broadcast_to(y[-1], (pad,))])
+    xc = x.reshape(-1, chunk)
+    yc = y.reshape(-1, chunk)
+    # chunk bboxes as ints with the +1 bilinear-support cell included
+    boxes = np.stack([
+        np.floor(xc.min(1)), np.floor(xc.max(1)) + 1,
+        np.floor(yc.min(1)), np.floor(yc.max(1)) + 1,
+    ], axis=1).astype(np.int64)
+
+    def snapped_area(b):
+        nr = _ceil_to(max(int(b[3] - b[2]) + 1, 8), 8)
+        nc = _ceil_to(max(int(b[1] - b[0]) + 1, 128), _LANES)
+        return nr * nc
+
+    def union(a, b):
+        return (min(a[0], b[0]), max(a[1], b[1]), min(a[2], b[2]), max(a[3], b[3]))
+
+    segs = []
+    cur = tuple(boxes[0])
+    for b in boxes[1:]:
+        b = tuple(b)
+        merged = union(cur, b)
+        if snapped_area(merged) - snapped_area(cur) <= snapped_area(b) + page_overhead_cells:
+            cur = merged
+        else:
+            segs.append(cur)
+            cur = b
+    segs.append(cur)
+
+    # cap the page count: merge the adjacent pair with the smallest area cost
+    while len(segs) > max_bands:
+        costs = [
+            snapped_area(union(segs[i], segs[i + 1]))
+            - snapped_area(segs[i]) - snapped_area(segs[i + 1])
+            for i in range(len(segs) - 1)
+        ]
+        i = int(np.argmin(costs))
+        segs[i : i + 2] = [union(segs[i], segs[i + 1])]
+
+    out = []
+    for (x0, x1, y0, y1) in segs:
+        nr = _ceil_to(max(int(y1 - y0) + 1, 8), 8)
+        nc = _ceil_to(max(int(x1 - x0) + 1, 128), _LANES)
+        r0, c0 = int(y0), int(x0)
+        if grid_shape is not None:
+            H, W = grid_shape
+            nr, nc = min(nr, H), min(nc, W)
+            r0 = max(0, min(r0, H - nr))
+            c0 = max(0, min(c0, W - nc))
+        out.append((r0, c0, nr, nc))
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class BandAtlas:
+    """K same-shape filled band pages stacked for one-pass resampling."""
+
+    planes: jax.Array    # (K, R, C) NaN-free page values
+    vmasks: jax.Array    # (K, R, C) 1.0 where defined
+    origins: jax.Array   # (K, 2) page (row0, col0), planes' dtype
+    masked: bool         # static: any undefined cell in any page?
+
+    @property
+    def shape(self):
+        return self.planes.shape
+
+    @property
+    def cells(self) -> int:
+        k, r, c = self.planes.shape
+        return int(k * r * c)
+
+
+def build_atlas(grid: RegularGrid, segments, **fill_kw) -> BandAtlas:
+    """Fill one page per planned segment, all re-placed to a common snapped
+    shape (the max over segments, centered on each segment, shifted inside
+    the grid).  Equal shapes mean ONE fill compilation serves every page."""
+    H, W = grid.shape
+    pr = max(nr for (_, _, nr, _) in segments)
+    pc = max(nc for (_, _, _, nc) in segments)
+    pr, pc = min(pr, H), min(pc, W)
+    pages = []
+    origins = []
+    for (r0, c0, nr, nc) in segments:
+        # center the segment in the common page, clipped to the grid
+        rp = max(0, min(r0 - (pr - nr) // 2, H - pr))
+        cp = max(0, min(c0 - (pc - nc) // 2, W - pc))
+        pages.append(fill_band(grid, rp, pr, cp, pc, **fill_kw))
+        origins.append((rp, cp))
+    planes = jnp.stack([b.plane for b in pages])
+    vmasks = jnp.stack([b.vmask for b in pages])
+    return BandAtlas(
+        planes=planes,
+        vmasks=vmasks,
+        origins=jnp.asarray(np.asarray(origins), grid.dtype),
+        masked=any(b.masked for b in pages),
+    )
+
+
+class AtlasResampler:
+    """Serve scattered queries from a band atlas (same API as BandResampler;
+    cost is one `_band_resample`-shaped pass regardless of page count)."""
+
+    def __init__(self, grid: RegularGrid, atlas: BandAtlas, *, chunk: int = 512,
+                 win_rows: int = 48, win_cols: int = 128):
+        _, R, C = atlas.shape
+        self.grid = grid
+        self.atlas = atlas
+        self.chunk = int(chunk)
+        self.wr = min(int(win_rows), R)
+        self.wc = min(int(win_cols), C)
+        self.dtype = atlas.planes.dtype
+
+    def resample(self, lons, lats):
+        """Returns (values, resolved_mask); unresolved entries are NaN."""
+        lons = jnp.asarray(lons, self.dtype)
+        lats = jnp.asarray(lats, self.dtype)
+        n = lons.shape[0]
+        x, y = self.grid.lonlat_to_xy(lons, lats)
+        pad = (-n) % self.chunk
+        if pad:
+            x = jnp.concatenate([x, jnp.broadcast_to(x[-1], (pad,))])
+            y = jnp.concatenate([y, jnp.broadcast_to(y[-1], (pad,))])
+        z, ok = _atlas_resample(
+            self.atlas.planes, self.atlas.vmasks, self.atlas.origins, x, y,
+            chunk=self.chunk, wr=self.wr, wc=self.wc, masked=self.atlas.masked,
+            pick=self.atlas.planes.shape[0] > 1,
+        )
+        return z[:n], ok[:n]
+
+
 # measured chip constants (ns per unit), calibrated by scripts/band_probe.py
 # (results/band_probe_r4.txt); used only for ROUTING decisions.  The packed
 # constant is its RANDOM-batch rate (its best case): measured on a dense
@@ -296,7 +542,7 @@ class BandRouter:
     def __init__(self, grid: RegularGrid, *, convention: str = "reference",
                  chunk: int = 512, win_rows: int = 48, win_cols: int = 128,
                  margin: int = 10, fill_backend: str = "auto",
-                 two_tier=None, cost_ns=None):
+                 two_tier=None, cost_ns=None, max_bands: int = 1):
         from .two_tier import TwoTierInterpolator
 
         self.grid = grid
@@ -305,6 +551,9 @@ class BandRouter:
         self.win_rows = int(win_rows)
         self.win_cols = int(win_cols)
         self.margin = int(margin)
+        # max_bands > 1 enables trajectory segmentation (plan_segments): a
+        # diagonal/L-shaped mission fills K thin pages instead of its bbox
+        self.max_bands = int(max_bands)
         if fill_backend == "auto":
             fill_backend = (
                 "fused"
@@ -315,6 +564,7 @@ class BandRouter:
         self.two_tier = two_tier or TwoTierInterpolator(grid, convention=convention)
         self.cost_ns = dict(COST_NS, **(cost_ns or {}))
         self._band = None
+        self._atlas = None
         self._resampler = None
 
     # -- band management ---------------------------------------------------
@@ -343,14 +593,39 @@ class BandRouter:
         c0 = min(c0, W - ncols)
         return r0, nrows, c0, ncols
 
-    def prepare(self, lons, lats, **fill_kw):
-        """Fill (or refresh) the band covering these queries."""
+    def prepare(self, lons, lats, *, max_bands: int | None = None, **fill_kw):
+        """Fill the band — or, with max_bands > 1 and a spread-out
+        trajectory, the segmented band atlas — covering these queries."""
+        mb = self.max_bands if max_bands is None else int(max_bands)
+        segs = None
+        if mb > 1:
+            x, y = self.grid.lonlat_to_xy(
+                jnp.asarray(lons, self.grid.dtype),
+                jnp.asarray(lats, self.grid.dtype),
+            )
+            segs = plan_segments(
+                x, y, chunk=self.chunk, max_bands=mb,
+                grid_shape=self.grid.shape,
+            )
+        if segs is not None and len(segs) > 1:
+            self._atlas = build_atlas(
+                self.grid, segs, margin=self.margin,
+                fill_backend=self.fill_backend, convention=self.convention,
+                **fill_kw,
+            )
+            self._band = None
+            self._resampler = AtlasResampler(
+                self.grid, self._atlas, chunk=self.chunk,
+                win_rows=self.win_rows, win_cols=self.win_cols,
+            )
+            return self._atlas
         r0, nr, c0, nc = self.band_bbox(lons, lats)
         self._band = fill_band(
             self.grid, r0, nr, c0, nc, margin=self.margin,
             fill_backend=self.fill_backend, convention=self.convention,
             **fill_kw,
         )
+        self._atlas = None
         self._resampler = BandResampler(
             self.grid, self._band, chunk=self.chunk,
             win_rows=self.win_rows, win_cols=self.win_cols,
@@ -358,14 +633,30 @@ class BandRouter:
         return self._band
 
     def refresh(self, grid: RegularGrid | None = None, **fill_kw):
-        """Refill the CURRENT band geometry (serving mode: new observations
-        arrived, queries stay band-confined).  Skips the bbox readback and
-        pins the masked flag from the synced build — zero host round trips
-        beyond the fill dispatch itself."""
-        if self._band is None:
+        """Refill the CURRENT band/atlas geometry (serving mode: new
+        observations arrived, queries stay band-confined).  Skips the bbox
+        readback/planning and pins the masked flag from the synced build —
+        zero host round trips beyond the fill dispatches themselves."""
+        if self._band is None and self._atlas is None:
             raise RuntimeError("refresh() before prepare()")
         if grid is not None:
             self.grid = grid
+        if self._atlas is not None:
+            _, pr, pc = self._atlas.shape
+            segs = [
+                (int(r), int(c), pr, pc)
+                for r, c in np.asarray(self._atlas.origins, np.int64)
+            ]
+            self._atlas = build_atlas(
+                self.grid, segs, margin=self.margin,
+                fill_backend=self.fill_backend, convention=self.convention,
+                assume_masked=self._atlas.masked, **fill_kw,
+            )
+            self._resampler = AtlasResampler(
+                self.grid, self._atlas, chunk=self.chunk,
+                win_rows=self.win_rows, win_cols=self.win_cols,
+            )
+            return self._atlas
         b = self._band
         self._band = fill_band(
             self.grid, b.row0, b.shape[0], b.col0, b.shape[1],
@@ -404,12 +695,26 @@ class BandRouter:
         frac = self.coherence(lons, lats)
         c = self.cost_ns
         packed = c["packed_per_query"] * n
-        if band_ready and self._band is not None:
+        if band_ready and (self._band is not None or self._atlas is not None):
             fill = 0.0
-            cells = self._band.cells
+            cells = (self._band or self._atlas).cells
         else:
-            r0, nr, c0, nc = self.band_bbox(lons, lats)
-            cells = nr * nc
+            if self.max_bands > 1:
+                x, y = self.grid.lonlat_to_xy(
+                    jnp.asarray(lons, self.grid.dtype),
+                    jnp.asarray(lats, self.grid.dtype),
+                )
+                segs = plan_segments(
+                    x, y, chunk=self.chunk, max_bands=self.max_bands,
+                    grid_shape=self.grid.shape,
+                )
+                # pages share the max segment shape (build_atlas)
+                pr = max(nr for (_, _, nr, _) in segs)
+                pc = max(nc for (_, _, _, nc) in segs)
+                cells = len(segs) * pr * pc
+            else:
+                r0, nr, c0, nc = self.band_bbox(lons, lats)
+                cells = nr * nc
             fill = c["fill_per_cell"] * cells
         band = (
             fill
@@ -422,7 +727,7 @@ class BandRouter:
     def kriging(self, lons, lats, *, force: str | None = None):
         """Serve a batch: band resample with exact-kriging escalation, or the
         packed two-tier path, whichever routes cheaper (or ``force``d)."""
-        choice = force or self.route(lons, lats, band_ready=self._band is not None)
+        choice = force or self.route(lons, lats, band_ready=self._resampler is not None)
         if choice == "packed":
             return self.two_tier.kriging(lons, lats)
         if self._resampler is None:

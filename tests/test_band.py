@@ -187,3 +187,110 @@ def test_band_bbox_snapping():
     y = (lat - EXT.min_lat) / grid.lat_step
     assert (np.floor(y) >= r0).all() and (np.floor(y) + 1 <= r0 + nr - 1).all()
     assert (np.floor(x) >= c0).all() and (np.floor(x) + 1 <= c0 + nc - 1).all()
+
+
+def _diagonal(grid, n, seed=0, width=3.0):
+    """Diagonal survey crossing the whole grid: thin corridor, huge bbox."""
+    H, W = grid.shape
+    t = np.linspace(0.0, 1.0, n)
+    x = 1.0 + t * (W - 3)
+    y = 1.0 + t * (H - 3)
+    rng = np.random.default_rng(seed)
+    x = np.clip(x + rng.normal(0, 0.05, n), 0.5, W - 1.5)
+    y = np.clip(y + width * np.sin(t * 20 * np.pi) + rng.normal(0, 0.05, n),
+                0.5, H - 1.5)
+    lon = EXT.min_lon + x * grid.lon_step
+    lat = EXT.min_lat + y * grid.lat_step
+    return lon, lat
+
+
+def test_plan_segments_diagonal_vs_confined():
+    from auvtpu.ops.band import plan_segments
+
+    elev = shelf_seamount(512, 640)
+    grid = RegularGrid.dense(elev, EXT)
+    lon, lat = _diagonal(grid, 8192)
+    x = (lon - EXT.min_lon) / grid.lon_step
+    y = (lat - EXT.min_lat) / grid.lat_step
+    segs = plan_segments(x, y, chunk=512, max_bands=8, grid_shape=grid.shape)
+    assert 1 < len(segs) <= 8
+    for r0, c0, nr, nc in segs:
+        assert nr % 8 == 0 and nc % 128 == 0
+        assert 0 <= r0 <= 512 - nr and 0 <= c0 <= 640 - nc
+    # segmentation must beat the bbox band by a wide margin on a diagonal
+    pr = max(s[2] for s in segs)
+    pc = max(s[3] for s in segs)
+    assert len(segs) * pr * pc < 0.55 * 512 * 640
+    # a band-confined trajectory yields ONE segment (segmentation never
+    # penalizes the confined case)
+    lon2, lat2 = _trajectory(grid, 8192, row_frac=0.4, row_width_frac=0.02)
+    x2 = (lon2 - EXT.min_lon) / grid.lon_step
+    y2 = (lat2 - EXT.min_lat) / grid.lat_step
+    assert len(plan_segments(x2, y2, chunk=512, max_bands=8,
+                             grid_shape=grid.shape)) == 1
+
+
+def test_atlas_resample_parity_dense():
+    # atlas resample == direct f64 bilinear on the page planes, page routing
+    # picks the right page for every chunk of a diagonal track
+    from auvtpu.ops.band import AtlasResampler, build_atlas, plan_segments
+
+    elev = shelf_seamount(256, 384)
+    grid = RegularGrid.dense(elev, EXT)
+    lon, lat = _diagonal(grid, 4096, width=2.0)
+    x = (lon - EXT.min_lon) / grid.lon_step
+    y = (lat - EXT.min_lat) / grid.lat_step
+    segs = plan_segments(x, y, chunk=256, max_bands=6, grid_shape=grid.shape)
+    assert len(segs) > 1
+    atlas = build_atlas(grid, segs, method="idw")
+    rs = AtlasResampler(grid, atlas, chunk=256, win_rows=48, win_cols=128)
+    z, ok = rs.resample(lon, lat)
+    z, ok = np.asarray(z), np.asarray(ok)
+    assert ok.mean() > 0.9  # coherent: nearly everything resolves in-page
+    # oracle: dense grid -> every page plane equals the elev crop, so the
+    # resample must equal direct bilinear of elev at the query coords
+    want = _ref_bilinear(elev, x, y)
+    assert np.abs(z[ok] - want[ok]).max() < 1e-3
+    assert np.isnan(z[~ok]).all()
+
+
+def test_band_router_multiband_end_to_end():
+    # masked grid + diagonal mission through max_bands>1: resolved queries
+    # equal the bilinear resample of the whole-grid kriging fill; unresolved
+    # escalate to exact two-tier kriging; refresh() keeps geometry and parity
+    from auvtpu.ops import fill_kriging
+
+    elev = shelf_seamount(192, 256)
+    reduced, _, _ = mask_grid(elev, 0.12, seed=5)
+    grid = RegularGrid.from_nan_array(reduced, EXT)
+    router = BandRouter(grid, chunk=128, win_rows=48, win_cols=128,
+                        fill_backend="xla", max_bands=6)
+    lon, lat = _diagonal(grid, 2048, width=2.0)
+    out = router.prepare(lon, lat)
+    assert hasattr(out, "origins")  # got an atlas, not a single band
+    assert out.shape[0] > 1
+    z = np.asarray(router.kriging(lon, lat, force="band"))
+    assert np.isfinite(z).all()
+    zr, ok = router._resampler.resample(lon, lat)
+    zr, ok = np.asarray(zr), np.asarray(ok)
+    np.testing.assert_allclose(z[ok], zr[ok], atol=1e-5)
+    # resolved values match the whole-grid fill's bilinear resample (band
+    # pages are crops of the same fill: test_fill_band_matches_whole_grid_fill)
+    whole = np.asarray(fill_kriging(grid))
+    keep = np.where(np.asarray(grid.valid) > 0.5, np.asarray(grid.elev), whole)
+    x = (lon - EXT.min_lon) / grid.lon_step
+    y = (lat - EXT.min_lat) / grid.lat_step
+    want = _ref_bilinear(keep, x, y)
+    fin = ok & np.isfinite(want)
+    assert np.abs(z[fin] - want[fin]).max() < 5e-3
+    if (~ok).any():
+        tt = np.asarray(router.two_tier.kriging(
+            jnp.asarray(lon[~ok], jnp.float32), jnp.asarray(lat[~ok], jnp.float32)))
+        np.testing.assert_allclose(z[~ok], tt, atol=1e-4)
+    # refresh keeps page geometry and stays parity-clean
+    atlas2 = router.refresh()
+    assert atlas2.shape == out.shape
+    assert np.array_equal(np.asarray(atlas2.origins), np.asarray(out.origins))
+    z2, ok2 = router._resampler.resample(lon, lat)
+    assert np.array_equal(np.asarray(ok2), ok)
+    np.testing.assert_allclose(np.asarray(z2)[ok], zr[ok], atol=1e-6)
