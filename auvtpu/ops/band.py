@@ -359,6 +359,55 @@ def _atlas_resample(planes, vmasks, origins, x, y, *, chunk: int, wr: int,
     return _lerp_window(win, winm, ly0c, lx0c, wy, wx, ok)
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _chunk_boxes_device(x, y, *, chunk: int):
+    """Per-chunk bbox reduction on device: (nch, 4) [xmin, xmax, ymin, ymax].
+    Avoids shipping the full trajectory to the host for planning — 5M f32
+    coords cost ~270 ms over the axon tunnel; the (nch, 4) boxes are ~150 KB."""
+    nch = x.shape[0] // chunk
+    xc = x[: nch * chunk].reshape(nch, chunk)
+    yc = y[: nch * chunk].reshape(nch, chunk)
+    return jnp.stack(
+        [xc.min(axis=1), xc.max(axis=1), yc.min(axis=1), yc.max(axis=1)],
+        axis=1,
+    )
+
+
+def _trajectory_boxes(x, y, chunk: int) -> np.ndarray:
+    """Integer chunk bboxes [x0, x1, y0, y1] with the +1 bilinear-support
+    cell, from device arrays (device reduction + small readback) or host
+    arrays (numpy).  The tail partial chunk gets its own box."""
+    n = x.shape[0]
+    if n == 0:
+        raise ValueError("empty trajectory")
+    if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+        nch = n // chunk
+        parts = []
+        if nch:
+            parts.append(np.asarray(_chunk_boxes_device(x, y, chunk=chunk),
+                                    np.float64))
+        if n % chunk:
+            xt, yt = x[nch * chunk:], y[nch * chunk:]
+            parts.append(np.asarray(
+                jnp.stack([xt.min(), xt.max(), yt.min(), yt.max()])[None, :],
+                np.float64))
+        raw = np.concatenate(parts, axis=0)
+    else:
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        pad = (-n) % chunk
+        if pad:
+            x = np.concatenate([x, np.broadcast_to(x[-1], (pad,))])
+            y = np.concatenate([y, np.broadcast_to(y[-1], (pad,))])
+        xc = x.reshape(-1, chunk)
+        yc = y.reshape(-1, chunk)
+        raw = np.stack([xc.min(1), xc.max(1), yc.min(1), yc.max(1)], axis=1)
+    return np.stack([
+        np.floor(raw[:, 0]), np.floor(raw[:, 1]) + 1,
+        np.floor(raw[:, 2]), np.floor(raw[:, 3]) + 1,
+    ], axis=1).astype(np.int64)
+
+
 def plan_segments(x, y, *, chunk: int = 512, max_bands: int = 8,
                   page_overhead_cells: int = 8192, grid_shape=None):
     """Greedy segmentation of an ORDERED trajectory into tile-snapped bands.
@@ -378,22 +427,9 @@ def plan_segments(x, y, *, chunk: int = 512, max_bands: int = 8,
     clipped to ``grid_shape`` when given.  A band-confined trajectory yields
     one segment — segmentation never hurts the confined case.
     """
-    x = np.asarray(x, np.float64)
-    y = np.asarray(y, np.float64)
-    n = x.shape[0]
-    if n == 0:
-        raise ValueError("empty trajectory")
-    pad = (-n) % chunk
-    if pad:
-        x = np.concatenate([x, np.broadcast_to(x[-1], (pad,))])
-        y = np.concatenate([y, np.broadcast_to(y[-1], (pad,))])
-    xc = x.reshape(-1, chunk)
-    yc = y.reshape(-1, chunk)
-    # chunk bboxes as ints with the +1 bilinear-support cell included
-    boxes = np.stack([
-        np.floor(xc.min(1)), np.floor(xc.max(1)) + 1,
-        np.floor(yc.min(1)), np.floor(yc.max(1)) + 1,
-    ], axis=1).astype(np.int64)
+    # chunk bboxes as ints with the +1 bilinear-support cell included;
+    # device arrays reduce on device and read back only the boxes
+    boxes = _trajectory_boxes(x, y, chunk)
 
     def snapped_area(b):
         nr = _ceil_to(max(int(b[3] - b[2]) + 1, 8), 8)
@@ -458,29 +494,60 @@ class BandAtlas:
         return int(k * r * c)
 
 
-def build_atlas(grid: RegularGrid, segments, **fill_kw) -> BandAtlas:
+@partial(jax.jit, static_argnames=("placed", "pr", "pc", "method", "margin",
+                                   "fill_backend", "convention", "model"))
+def _fill_pages(grid: RegularGrid, vparams, *, placed, pr: int, pc: int,
+                method: str, margin: int, fill_backend: str, convention: str,
+                model: str):
+    """All K page fills in ONE dispatch.  Measured motivation
+    (results/atlas_fill_probe_r4.txt): a fill_band call costs ~10 ms of FIXED
+    host-dispatch overhead over the axon tunnel (a 0-row band times the same
+    as a full page), so a Python loop over K pages pays K x 10 ms; one jit
+    collapses that to a single dispatch and lets XLA schedule the page fills
+    back-to-back on device."""
+    bands = [
+        fill_band(grid, rp, pr, cp, pc, method=method, margin=margin,
+                  fill_backend=fill_backend, convention=convention,
+                  vparams=vparams, model=model, assume_masked=True)
+        for (rp, cp) in placed
+    ]
+    return (jnp.stack([b.plane for b in bands]),
+            jnp.stack([b.vmask for b in bands]))
+
+
+def build_atlas(grid: RegularGrid, segments, *, method: str = "kriging",
+                margin: int = 10, fill_backend: str = "xla",
+                convention: str = "reference", vparams=None,
+                model: str = "exponential",
+                assume_masked: bool | None = None) -> BandAtlas:
     """Fill one page per planned segment, all re-placed to a common snapped
     shape (the max over segments, centered on each segment, shifted inside
-    the grid).  Equal shapes mean ONE fill compilation serves every page."""
+    the grid).  Equal shapes mean ONE fill compilation serves every page,
+    and all pages fill in one jitted dispatch (`_fill_pages`)."""
     H, W = grid.shape
     pr = max(nr for (_, _, nr, _) in segments)
     pc = max(nc for (_, _, _, nc) in segments)
     pr, pc = min(pr, H), min(pc, W)
-    pages = []
-    origins = []
+    placed = []
     for (r0, c0, nr, nc) in segments:
         # center the segment in the common page, clipped to the grid
         rp = max(0, min(r0 - (pr - nr) // 2, H - pr))
         cp = max(0, min(c0 - (pc - nc) // 2, W - pc))
-        pages.append(fill_band(grid, rp, pr, cp, pc, **fill_kw))
-        origins.append((rp, cp))
-    planes = jnp.stack([b.plane for b in pages])
-    vmasks = jnp.stack([b.vmask for b in pages])
+        placed.append((rp, cp))
+    planes, vmasks = _fill_pages(
+        grid, vparams, placed=tuple(placed), pr=pr, pc=pc, method=method,
+        margin=margin, fill_backend=fill_backend, convention=convention,
+        model=model,
+    )
+    if assume_masked is None:
+        masked = bool(jnp.min(vmasks) < 0.5)  # static fast-path pick; 1 sync
+    else:
+        masked = bool(assume_masked)
     return BandAtlas(
         planes=planes,
         vmasks=vmasks,
-        origins=jnp.asarray(np.asarray(origins), grid.dtype),
-        masked=any(b.masked for b in pages),
+        origins=jnp.asarray(np.asarray(placed), grid.dtype),
+        masked=masked,
     )
 
 
