@@ -483,6 +483,8 @@ class BandAtlas:
     vmasks: jax.Array    # (K, R, C) 1.0 where defined
     origins: jax.Array   # (K, 2) page (row0, col0), planes' dtype
     masked: bool         # static: any undefined cell in any page?
+    placed: tuple = ()   # host copy of the (row0, col0) origins — lets
+                         # refresh() redo the fill with ZERO device readbacks
 
     @property
     def shape(self):
@@ -548,6 +550,7 @@ def build_atlas(grid: RegularGrid, segments, *, method: str = "kriging",
         vmasks=vmasks,
         origins=jnp.asarray(np.asarray(placed), grid.dtype),
         masked=masked,
+        placed=tuple(placed),
     )
 
 
@@ -593,7 +596,11 @@ class AtlasResampler:
 # honest numbers.
 COST_NS = {
     "packed_per_query": 8.3,    # 120.4 M pts/s transposed kriging, random 5M
-    "fill_per_cell": 67.0,      # narrow-band fused fill, 120-row band (r4)
+    # one-dispatch jitted fill (_fill_pages / _fill_one): 5.5-6.5 ns/cell
+    # measured at both page (163k-cell) and whole-grid (5M-cell) scale
+    # (results/atlas_probe_r4.txt, atlas_fill_probe_r4.txt).  The old 67
+    # was a raw fill_band loop whose ~10 ms fixed host dispatch dominated.
+    "fill_per_cell": 6.5,
     "resample_per_query": 5.7,  # chunked MXU resample, HIGHEST precision (r4)
 }
 
@@ -687,17 +694,32 @@ class BandRouter:
             )
             return self._atlas
         r0, nr, c0, nc = self.band_bbox(lons, lats)
-        self._band = fill_band(
-            self.grid, r0, nr, c0, nc, margin=self.margin,
-            fill_backend=self.fill_backend, convention=self.convention,
-            **fill_kw,
-        )
+        self._band = self._fill_one(r0, nr, c0, nc, None, **fill_kw)
         self._atlas = None
         self._resampler = BandResampler(
             self.grid, self._band, chunk=self.chunk,
             win_rows=self.win_rows, win_cols=self.win_cols,
         )
         return self._band
+
+    def _fill_one(self, row0, nrows, col0, ncols, masked, **fill_kw):
+        """Single-band fill through the one-dispatch jitted path (K=1
+        `_fill_pages`): a raw fill_band call pays ~10 ms of fixed host
+        dispatch over the tunnel (results/atlas_fill_probe_r4.txt).
+        masked=None syncs once to pick the resample fast path."""
+        planes, vmasks = _fill_pages(
+            self.grid, fill_kw.pop("vparams", None),
+            placed=((int(row0), int(col0)),), pr=int(nrows), pc=int(ncols),
+            method=fill_kw.pop("method", "kriging"), margin=self.margin,
+            fill_backend=self.fill_backend, convention=self.convention,
+            model=fill_kw.pop("model", "exponential"),
+        )
+        if fill_kw:
+            raise TypeError(f"unsupported fill kwargs: {sorted(fill_kw)}")
+        if masked is None:
+            masked = bool(jnp.min(vmasks) < 0.5)  # 1 sync (prepare only)
+        return Band(plane=planes[0], vmask=vmasks[0], masked=bool(masked),
+                    row0=int(row0), col0=int(col0))
 
     def refresh(self, grid: RegularGrid | None = None, **fill_kw):
         """Refill the CURRENT band/atlas geometry (serving mode: new
@@ -710,30 +732,29 @@ class BandRouter:
             self.grid = grid
         if self._atlas is not None:
             _, pr, pc = self._atlas.shape
-            segs = [
-                (int(r), int(c), pr, pc)
+            placed = self._atlas.placed or tuple(
+                (int(r), int(c))
                 for r, c in np.asarray(self._atlas.origins, np.int64)
-            ]
-            self._atlas = build_atlas(
-                self.grid, segs, margin=self.margin,
-                fill_backend=self.fill_backend, convention=self.convention,
-                assume_masked=self._atlas.masked, **fill_kw,
             )
-            self._resampler = AtlasResampler(
-                self.grid, self._atlas, chunk=self.chunk,
-                win_rows=self.win_rows, win_cols=self.win_cols,
+            # fill dispatch ONLY: reuse the atlas geometry (origins stay on
+            # device, placed tuple is host-cached) — no readbacks/uploads
+            planes, vmasks = _fill_pages(
+                self.grid, fill_kw.pop("vparams", None), placed=placed,
+                pr=pr, pc=pc, method=fill_kw.pop("method", "kriging"),
+                margin=self.margin, fill_backend=self.fill_backend,
+                convention=self.convention,
+                model=fill_kw.pop("model", "exponential"),
             )
+            if fill_kw:
+                raise TypeError(f"unsupported refresh kwargs: {sorted(fill_kw)}")
+            self._atlas = dataclasses.replace(
+                self._atlas, planes=planes, vmasks=vmasks, placed=placed)
+            self._resampler.atlas = self._atlas
             return self._atlas
         b = self._band
-        self._band = fill_band(
-            self.grid, b.row0, b.shape[0], b.col0, b.shape[1],
-            margin=self.margin, fill_backend=self.fill_backend,
-            convention=self.convention, assume_masked=b.masked, **fill_kw,
-        )
-        self._resampler = BandResampler(
-            self.grid, self._band, chunk=self.chunk,
-            win_rows=self.win_rows, win_cols=self.win_cols,
-        )
+        self._band = self._fill_one(
+            b.row0, b.shape[0], b.col0, b.shape[1], b.masked, **fill_kw)
+        self._resampler.band = self._band
         return self._band
 
     # -- routing -----------------------------------------------------------

@@ -104,6 +104,18 @@ def main():
     segs = plan_segments(x, y, chunk=CHUNK, max_bands=MAX_BANDS,
                          grid_shape=grid.shape)
     plan_ms = (time.perf_counter() - t0) * 1e3
+    # device path (what router.prepare/route actually use): bbox reduction on
+    # chip, (nch,4) readback
+    xd, yd = grid.lonlat_to_xy(lon_d, lat_d)
+    plan_segments(xd, yd, chunk=CHUNK, max_bands=MAX_BANDS,
+                  grid_shape=grid.shape)  # compile
+    t0 = time.perf_counter()
+    segs_d = plan_segments(xd, yd, chunk=CHUNK, max_bands=MAX_BANDS,
+                           grid_shape=grid.shape)
+    plan_dev_ms = (time.perf_counter() - t0) * 1e3
+    print(f"plan_segments device-boxes path: {plan_dev_ms:.0f} ms "
+          f"(host-numpy path: {plan_ms:.0f} ms); same plan: {segs_d == segs}",
+          flush=True)
     pr = max(s[2] for s in segs)
     pc = max(s[3] for s in segs)
     print(f"plan_segments: {len(segs)} pages, common shape {pr}x{pc}, "
