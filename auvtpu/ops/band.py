@@ -596,11 +596,14 @@ class AtlasResampler:
 # honest numbers.
 COST_NS = {
     "packed_per_query": 8.3,    # 120.4 M pts/s transposed kriging, random 5M
-    # one-dispatch jitted fill (_fill_pages / _fill_one): 5.5-6.5 ns/cell
-    # measured at both page (163k-cell) and whole-grid (5M-cell) scale
-    # (results/atlas_probe_r4.txt, atlas_fill_probe_r4.txt).  The old 67
-    # was a raw fill_band loop whose ~10 ms fixed host dispatch dominated.
-    "fill_per_cell": 6.5,
+    # the fill cost model is  dispatch + fill_per_cell * cells:
+    # results/fill_shape_probe_r4.txt (interleaved medians over 6 shapes,
+    # 0.16M-5M cells) shows EVERY one-jit fill dispatch pays a ~7.3 ms fixed
+    # floor (tunnel round trip + launch) with ~0.5 ns/cell marginal on top —
+    # there is no shape effect, so small one-shot batches correctly route
+    # packed (one dispatch) and serving/one-shot 5M batches route band.
+    "dispatch": 7.3e6,
+    "fill_per_cell": 1.0,
     "resample_per_query": 5.7,  # chunked MXU resample, HIGHEST precision (r4)
 }
 
@@ -803,7 +806,7 @@ class BandRouter:
             else:
                 r0, nr, c0, nc = self.band_bbox(lons, lats)
                 cells = nr * nc
-            fill = c["fill_per_cell"] * cells
+            fill = c["dispatch"] + c["fill_per_cell"] * cells
         band = (
             fill
             + c["resample_per_query"] * n
