@@ -175,3 +175,126 @@ def export_learned(path: str, shape, params, *, extent=(0.0, 1.0, 0.0, 1.0), wid
     with open(path, "wb") as f:
         f.write(blob)
     return len(blob)
+
+def _mission_fill_fn(shape, extent, placed, pr, pc, method, margin,
+                     fill_backend, convention, model):
+    from .ops.band import _fill_pages
+
+    min_lon, max_lon, min_lat, max_lat = extent
+
+    def fill(elev, valid):
+        g = RegularGrid(
+            elev=elev, valid=valid,
+            min_lon=min_lon, max_lon=max_lon, min_lat=min_lat, max_lat=max_lat,
+        )
+        return _fill_pages(
+            g, None, placed=placed, pr=pr, pc=pc, method=method,
+            margin=margin, fill_backend=fill_backend, convention=convention,
+            model=model,
+        )
+
+    return fill
+
+
+def export_mission_fill(path: str, shape, placed, pr: int, pc: int, *,
+                        extent=(0.0, 1.0, 0.0, 1.0), method: str = "kriging",
+                        margin: int = 10, fill_backend: str = "xla",
+                        convention: str = "reference",
+                        model: str = "exponential", platforms=None):
+    """Serialize the one-dispatch K-page band/atlas fill for a fixed grid
+    geometry and page placement: ``fill(elev, valid) -> (planes, vmasks)``.
+    ``placed`` is the tuple of (row0, col0) page origins (BandAtlas.placed,
+    or a single pair for one band); pages share the (pr, pc) shape.  This is
+    the serving-mode refresh step of ops/band.py's BandRouter, exported so
+    new observations can be folded in without any Python tracing.
+    Returns the byte size written."""
+    fill = _mission_fill_fn(
+        tuple(shape), tuple(extent), tuple(tuple(p) for p in placed),
+        int(pr), int(pc), method, margin, fill_backend, convention, model)
+    spec = jax.ShapeDtypeStruct(tuple(shape), jnp.float32)
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    exp = jexport.export(jax.jit(fill), **kw)(spec, spec)
+    blob = exp.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def _mission_resample_fn(shape, extent, placed, chunk, wr, wc, masked):
+    from .ops.band import _atlas_resample
+
+    H, W = shape
+    min_lon, max_lon, min_lat, max_lat = extent
+    lon_step = (max_lon - min_lon) / (W - 1)
+    lat_step = (max_lat - min_lat) / (H - 1)
+    origins_np = np.asarray(placed, np.float32)
+
+    def run(planes, vmasks, lons, lats):
+        x = (lons - min_lon) / lon_step
+        y = (lats - min_lat) / lat_step
+        n = x.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            # pad with the LAST query so the tail chunk stays coherent
+            x = jnp.concatenate([x, jnp.broadcast_to(x[-1], (pad,))])
+            y = jnp.concatenate([y, jnp.broadcast_to(y[-1], (pad,))])
+        z, ok = _atlas_resample(
+            planes, vmasks, jnp.asarray(origins_np), x, y,
+            chunk=chunk, wr=wr, wc=wc, masked=masked,
+            pick=len(placed) > 1,
+        )
+        return z[:n], ok[:n]
+
+    return run
+
+
+def export_mission_resample(path: str, shape, placed, pr: int, pc: int,
+                            n_queries: int, *, extent=(0.0, 1.0, 0.0, 1.0),
+                            chunk: int = 512, win_rows: int = 48,
+                            win_cols: int = 128, masked: bool = False,
+                            platforms=None):
+    """Serialize the chunked MXU windowed-bilinear resample over a K-page
+    band atlas for a fixed page placement and query batch size:
+    ``run(planes, vmasks, lons, lats) -> (z, resolved)``.  Unresolved
+    queries (page straddle / undefined cells) return NaN + False and should
+    escalate to the exported scattered engine — the same two-tier shape as
+    the live BandRouter.  Returns the byte size written."""
+    placed = tuple(tuple(p) for p in placed)
+    run = _mission_resample_fn(
+        tuple(shape), tuple(extent), placed, int(chunk),
+        min(int(win_rows), int(pr)), min(int(win_cols), int(pc)),
+        bool(masked))
+    pages = jax.ShapeDtypeStruct((len(placed), int(pr), int(pc)), jnp.float32)
+    q = jax.ShapeDtypeStruct((int(n_queries),), jnp.float32)
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    exp = jexport.export(jax.jit(run), **kw)(pages, pages, q, q)
+    blob = exp.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_exported_mission(fill_path: str, resample_path: str):
+    """Deserialize an export_mission_fill / export_mission_resample pair into
+    ``(fill(elev, valid) -> (planes, vmasks),
+       run(planes, vmasks, lons, lats) -> (z, resolved))``."""
+    with open(fill_path, "rb") as f:
+        fexp = jexport.deserialize(f.read())
+    with open(resample_path, "rb") as f:
+        rexp = jexport.deserialize(f.read())
+
+    def fill(elev, valid):
+        return fexp.call(jnp.asarray(elev, jnp.float32),
+                         jnp.asarray(valid, jnp.float32))
+
+    def run(planes, vmasks, lons, lats):
+        return rexp.call(
+            jnp.asarray(planes, jnp.float32), jnp.asarray(vmasks, jnp.float32),
+            jnp.asarray(lons, jnp.float32), jnp.asarray(lats, jnp.float32),
+        )
+
+    return fill, run

@@ -129,15 +129,21 @@ def main():
         rmse = float(rmse)
     log(f"compile+first step {time.time()-t0:.1f}s; RMSE={rmse:.4f} m  checksum={float(chk):.1f}")
 
-    # steady state: K dispatches, one readback
-    K = 20
-    t0 = time.perf_counter()
-    for _ in range(K):
-        r, _ = step(grid, truth_d, mask_d)
-    float(r)  # sync on the last result only; queue keeps the device busy
-    dt = (time.perf_counter() - t0) / K
+    # steady state: W windows of K dispatches (one readback each), median
+    # window — a single window is exposed to transient tunnel stalls (this
+    # session measured +/-30% between runs; results/fill_shape_probe_r4.txt)
+    K, W = 8, 5
+    window_s = []
+    for _ in range(W):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            r, _ = step(grid, truth_d, mask_d)
+        float(r)  # sync on the last result only; queue keeps the device busy
+        window_s.append((time.perf_counter() - t0) / K)
+    dt = float(np.median(window_s))
     pts_per_s = n_pts / dt
-    log(f"steady-state: {dt*1e3:.2f} ms/step -> {pts_per_s/1e6:.2f} M masked pts/s")
+    log("windows ms/step: " + " ".join(f"{w*1e3:.2f}" for w in window_s))
+    log(f"steady-state (median window): {dt*1e3:.2f} ms/step -> {pts_per_s/1e6:.2f} M masked pts/s")
 
     print(
         json.dumps(
@@ -153,10 +159,13 @@ def main():
     # adjacent artifact: which backend produced the recorded number (VERDICT
     # r3 weak #1 — a silent Pallas->XLA fallback must be visible to the judge)
     try:
+        # append: the history makes chip/tunnel speed drift visible (this
+        # session measured the same code at 4.18 -> 6.66 ms/step over 6 h)
         with open(os.path.join(os.path.dirname(__file__) or ".", "results",
-                               "bench_backend.txt"), "w") as f:
+                               "bench_backend.txt"), "a") as f:
             f.write(f"{time.strftime('%Y-%m-%d %H:%M:%S')} backend={backend} "
-                    f"pts_per_s={pts_per_s:.1f} rmse={rmse:.4f}\n")
+                    f"pts_per_s={pts_per_s:.1f} rmse={rmse:.4f} "
+                    f"ms_per_step={dt*1e3:.2f}\n")
     except OSError:
         pass
 

@@ -82,3 +82,51 @@ def test_export_learned_roundtrip(tmp_path):
     got = np.asarray(load_exported(path)(g.elev, g.valid))
     want = np.asarray(learned.fill_learned(g, params, width=8, depth=1))
     assert np.array_equal(got, want, equal_nan=True)
+
+
+def test_export_mission_roundtrip(tmp_path):
+    """Exported fill+resample pair == the live BandRouter atlas path."""
+    import jax.numpy as jnp
+
+    from auvtpu.ops.band import BandRouter
+    from auvtpu.serve import (
+        export_mission_fill,
+        export_mission_resample,
+        load_exported_mission,
+    )
+
+    H, W = 192, 256
+    ext = (0.0, float(W - 1), 0.0, float(H - 1))
+    elev, _, _ = mask_grid(shelf_seamount(H, W), 0.1, seed=9)
+    g = RegularGrid.from_nan_array(elev, Extent(*ext))
+    # diagonal mission -> multi-page atlas
+    t = np.linspace(0, 1, 1024)
+    rng = np.random.default_rng(0)
+    lons = np.clip(1.0 + t * (W - 3) + rng.normal(0, 0.05, t.size),
+                   0.5, W - 1.5).astype(np.float32)
+    lats = np.clip(1.0 + t * (H - 3) + 2 * np.sin(t * 20 * np.pi)
+                   + rng.normal(0, 0.05, t.size),
+                   0.5, H - 1.5).astype(np.float32)
+    router = BandRouter(g, chunk=128, win_rows=32, win_cols=128,
+                        fill_backend="xla", max_bands=3)
+    atlas = router.prepare(lons, lats)
+    assert atlas.shape[0] > 1
+    _, pr, pc = atlas.shape
+
+    fpath = str(tmp_path / "mission_fill.bin")
+    rpath = str(tmp_path / "mission_resample.bin")
+    assert export_mission_fill(fpath, (H, W), atlas.placed, pr, pc,
+                               extent=ext) > 0
+    assert export_mission_resample(rpath, (H, W), atlas.placed, pr, pc,
+                                   len(lons), extent=ext, chunk=128,
+                                   win_rows=32, win_cols=128,
+                                   masked=atlas.masked) > 0
+
+    fill, run = load_exported_mission(fpath, rpath)
+    planes, vmasks = fill(g.elev, g.valid)
+    assert np.array_equal(np.asarray(planes), np.asarray(atlas.planes))
+    assert np.array_equal(np.asarray(vmasks), np.asarray(atlas.vmasks))
+    z, ok = run(planes, vmasks, lons, lats)
+    zl, okl = router._resampler.resample(jnp.asarray(lons), jnp.asarray(lats))
+    assert np.array_equal(np.asarray(ok), np.asarray(okl))
+    assert np.array_equal(np.asarray(z), np.asarray(zl), equal_nan=True)
