@@ -324,3 +324,31 @@ def test_demo_cli(capsys):
     assert "toy 10x8 grid" in out
     assert out.count("validation PASSED") == 2
     assert "FAILED" not in out
+
+
+def test_mission_cli(tmp_path, capsys):
+    # mission serving surface: synthetic band mission routes 'band', serves
+    # finite depths, writes the predictions CSV, and exports the AOT pair
+    from auvtpu.cli.mission import main
+
+    out_csv = str(tmp_path / "mission.csv")
+    exp_dir = str(tmp_path / "aot")
+    rc = main([
+        "--grid-shape", "128", "256", "--removal", "0.1",
+        "--synthetic", "band", "--pings", "4096", "--chunk", "128",
+        "--fill-backend", "xla", "--force", "band",
+        "--out", out_csv, "--export-dir", exp_dir,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "route: band (forced)" in out
+    assert "resolved in-band:" in out
+    import numpy as np
+
+    track = np.genfromtxt(out_csv, delimiter=",", names=True)
+    assert len(track["interpolated_value"]) == 4096
+    assert np.isfinite(track["interpolated_value"]).all()
+    import os
+
+    assert os.path.getsize(os.path.join(exp_dir, "mission_fill.bin")) > 0
+    assert os.path.getsize(os.path.join(exp_dir, "mission_resample.bin")) > 0
