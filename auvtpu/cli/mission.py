@@ -162,9 +162,10 @@ def main(argv=None):
             fp, grid.shape, placed, pr, pc, extent=extent,
             convention=args.convention,
             fill_backend="xla" if args.fill_backend == "auto" else args.fill_backend)
+        rs = router._resampler  # auto_window may have shrunk wr/wc
         nr = export_mission_resample(
             rp, grid.shape, placed, pr, pc, len(lon), extent=extent,
-            chunk=args.chunk, win_rows=args.win_rows, win_cols=args.win_cols,
+            chunk=args.chunk, win_rows=rs.wr, win_cols=rs.wc,
             masked=masked)
         log(f"exported serving pair: {fp} ({nf} B), {rp} ({nr} B)")
     return 0

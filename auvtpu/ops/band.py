@@ -409,7 +409,8 @@ def _trajectory_boxes(x, y, chunk: int) -> np.ndarray:
 
 
 def plan_segments(x, y, *, chunk: int = 512, max_bands: int = 8,
-                  page_overhead_cells: int = 8192, grid_shape=None):
+                  page_overhead_cells: int = 8192, grid_shape=None,
+                  boxes=None):
     """Greedy segmentation of an ORDERED trajectory into tile-snapped bands.
 
     A single bbox band pays for the whole query hull: a diagonal or L-shaped
@@ -429,7 +430,8 @@ def plan_segments(x, y, *, chunk: int = 512, max_bands: int = 8,
     """
     # chunk bboxes as ints with the +1 bilinear-support cell included;
     # device arrays reduce on device and read back only the boxes
-    boxes = _trajectory_boxes(x, y, chunk)
+    if boxes is None:
+        boxes = _trajectory_boxes(x, y, chunk)
 
     def snapped_area(b):
         nr = _ceil_to(max(int(b[3] - b[2]) + 1, 8), 8)
@@ -619,7 +621,8 @@ class BandRouter:
     def __init__(self, grid: RegularGrid, *, convention: str = "reference",
                  chunk: int = 512, win_rows: int = 48, win_cols: int = 128,
                  margin: int = 10, fill_backend: str = "auto",
-                 two_tier=None, cost_ns=None, max_bands: int = 1):
+                 two_tier=None, cost_ns=None, max_bands: int = 1,
+                 auto_window: bool = False):
         from .two_tier import TwoTierInterpolator
 
         self.grid = grid
@@ -628,6 +631,15 @@ class BandRouter:
         self.win_rows = int(win_rows)
         self.win_cols = int(win_cols)
         self.margin = int(margin)
+        # auto_window shrinks the resample window to the measured max chunk
+        # span at prepare() time (win_rows/win_cols become upper bounds).
+        # MEASURED NO-OP on serving rate (band_probe_r4: 29.0 ms at auto
+        # wr=24 vs 28.0 at wr=48 — the resample is bound by the per-query
+        # lane-width intermediates, not the window-row gather), so it is
+        # opt-in: it only trims the small mrow/window traffic while adding
+        # one compile key per distinct wr.  Never affects correctness —
+        # chunks that exceed the window escalate.
+        self.auto_window = bool(auto_window)
         # max_bands > 1 enables trajectory segmentation (plan_segments): a
         # diagonal/L-shaped mission fills K thin pages instead of its bbox
         self.max_bands = int(max_bands)
@@ -672,17 +684,30 @@ class BandRouter:
 
     def prepare(self, lons, lats, *, max_bands: int | None = None, **fill_kw):
         """Fill the band — or, with max_bands > 1 and a spread-out
-        trajectory, the segmented band atlas — covering these queries."""
+        trajectory, the segmented band atlas — covering these queries.
+        With auto_window, also size the resample window from the measured
+        chunk spans (one small device readback on this cold path)."""
         mb = self.max_bands if max_bands is None else int(max_bands)
         segs = None
-        if mb > 1:
+        boxes = None
+        wr, wc = self.win_rows, self.win_cols
+        if mb > 1 or self.auto_window:
             x, y = self.grid.lonlat_to_xy(
                 jnp.asarray(lons, self.grid.dtype),
                 jnp.asarray(lats, self.grid.dtype),
             )
+            boxes = _trajectory_boxes(x, y, self.chunk)
+        if self.auto_window:
+            # window must hold the chunk's [floor(min), floor(max)+1] support:
+            # boxes already carry the +1 cell, so the requirement is
+            # (b[3]-b[2])+1 rows; +1 slack absorbs refresh-time drift
+            wr = min(wr, max(8, _ceil_to(int((boxes[:, 3] - boxes[:, 2]).max()) + 2, 8)))
+            wc = min(wc, max(_LANES, _ceil_to(int((boxes[:, 1] - boxes[:, 0]).max()) + 2, _LANES)))
+        self._win = (wr, wc)
+        if mb > 1:
             segs = plan_segments(
                 x, y, chunk=self.chunk, max_bands=mb,
-                grid_shape=self.grid.shape,
+                grid_shape=self.grid.shape, boxes=boxes,
             )
         if segs is not None and len(segs) > 1:
             self._atlas = build_atlas(
@@ -693,7 +718,7 @@ class BandRouter:
             self._band = None
             self._resampler = AtlasResampler(
                 self.grid, self._atlas, chunk=self.chunk,
-                win_rows=self.win_rows, win_cols=self.win_cols,
+                win_rows=wr, win_cols=wc,
             )
             return self._atlas
         r0, nr, c0, nc = self.band_bbox(lons, lats)
@@ -701,7 +726,7 @@ class BandRouter:
         self._atlas = None
         self._resampler = BandResampler(
             self.grid, self._band, chunk=self.chunk,
-            win_rows=self.win_rows, win_cols=self.win_cols,
+            win_rows=wr, win_cols=wc,
         )
         return self._band
 

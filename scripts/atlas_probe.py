@@ -134,6 +134,8 @@ def main():
     fillA_ms = steady_state_ms(lambda: router.refresh().planes, iters=4, warmup=1)
     print(f"atlas refresh steady: {fillA_ms:8.2f} ms "
           f"({fillA_ms*1e6/atlas.cells:.2f} ns/cell)", flush=True)
+    print(f"atlas resample window: {router._resampler.wr}x{router._resampler.wc} "
+          f"(auto; upper bound {WR}x{WC})", flush=True)
     msA = steady_state_ms(
         lambda: router._resampler.resample(lon_d, lat_d)[0], iters=8, warmup=2)
     rateA = N / msA / 1e3

@@ -96,6 +96,7 @@ def main():
     print(f"band refresh steady: {fill_ms:8.2f} ms ({fill_ms*1e6/band.cells:.1f} ns/cell)", flush=True)
 
     rs = router._resampler
+    print(f"resample window: {rs.wr}x{rs.wc} (auto; upper bound {WR}x{WC})", flush=True)
     ms_r = steady_state_ms(lambda: rs.resample(lon_d, lat_d)[0], iters=8, warmup=2)
     res_rate = N / ms_r / 1e3
     print(f"band resample (serving): {ms_r:8.2f} ms  {res_rate:7.1f} M pts/s "

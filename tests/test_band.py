@@ -294,3 +294,28 @@ def test_band_router_multiband_end_to_end():
     z2, ok2 = router._resampler.resample(lon, lat)
     assert np.array_equal(np.asarray(ok2), ok)
     np.testing.assert_allclose(np.asarray(z2)[ok], zr[ok], atol=1e-6)
+
+
+def test_auto_window_shrinks_and_matches_fixed():
+    # a dense low-weave trajectory must shrink the resample window (the
+    # gather volume driver) without changing any resolved value
+    elev = shelf_seamount(256, 512)
+    grid = RegularGrid.dense(elev, EXT)
+    H, W = grid.shape
+    n = 4096
+    t = np.linspace(0, 1, n)
+    x = 1.0 + t * (W - 3)
+    # gently sloped: the BAND spans ~100 rows but each 256-ping chunk only
+    # ~8 — exactly the case where the fixed 48-row window over-gathers
+    y = H * 0.2 + 0.2 * x + 2.0 * np.sin(t * 40 * np.pi)
+    lon = EXT.min_lon + x * grid.lon_step
+    lat = EXT.min_lat + y * grid.lat_step
+    auto = BandRouter(grid, chunk=256, fill_backend="xla", auto_window=True)
+    auto.prepare(lon, lat)
+    fixed = BandRouter(grid, chunk=256, fill_backend="xla", auto_window=False)
+    fixed.prepare(lon, lat)
+    assert auto._resampler.wr < fixed._resampler.wr  # shrank below 48
+    za, oka = auto._resampler.resample(lon, lat)
+    zf, okf = fixed._resampler.resample(lon, lat)
+    assert np.asarray(oka).all() and np.asarray(okf).all()
+    np.testing.assert_array_equal(np.asarray(za), np.asarray(zf))
