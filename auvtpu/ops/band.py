@@ -147,6 +147,21 @@ def _lerp_window(win, winm, ly0c, lx0c, wy, wx, ok):
     return z.reshape(-1), ok.reshape(-1)
 
 
+def _resolve_resample_backend(backend: str, dtype) -> str:
+    """'auto' -> XLA.  The VMEM-fused Pallas resample (pallas/band_resample)
+    is parity-exact but measured SLOWER on chip (band 36.6 vs 29.1 ms, atlas
+    37.6 vs 34.9 at 5M queries, interleaved medians —
+    results/resample_probe_r4.txt): both implementations are bound by the
+    per-query one-hot VPU work, which fusing into VMEM does not shrink, and
+    the kernel adds per-chunk overhead.  'pallas' stays available opt-in
+    (unmasked bands/atlases only)."""
+    if backend == "auto":
+        return "xla"
+    if backend not in ("xla", "pallas"):
+        raise ValueError(backend)
+    return backend
+
+
 @dataclasses.dataclass(frozen=True)
 class Band:
     """A filled rectangular sub-band of a grid (device-resident)."""
@@ -250,7 +265,8 @@ class BandResampler:
     """
 
     def __init__(self, grid: RegularGrid, band: Band, *, chunk: int = 512,
-                 win_rows: int = 48, win_cols: int = 128):
+                 win_rows: int = 48, win_cols: int = 128,
+                 backend: str = "auto"):
         R, C = band.shape
         self.grid = grid
         self.band = band
@@ -258,6 +274,7 @@ class BandResampler:
         self.wr = min(int(win_rows), R)
         self.wc = min(int(win_cols), C)
         self.dtype = band.plane.dtype
+        self.backend = _resolve_resample_backend(backend, self.dtype)
 
     def resample(self, lons, lats):
         """Returns (values, resolved_mask); unresolved entries are NaN."""
@@ -272,10 +289,21 @@ class BandResampler:
             # pad with the LAST query so the tail chunk stays coherent
             x = jnp.concatenate([x, jnp.broadcast_to(x[-1], (pad,))])
             y = jnp.concatenate([y, jnp.broadcast_to(y[-1], (pad,))])
-        z, ok = _band_resample(
-            self.band.plane, self.band.vmask, x, y,
-            chunk=self.chunk, wr=self.wr, wc=self.wc, masked=self.band.masked,
-        )
+        if self.backend == "pallas" and not self.band.masked:
+            # VMEM-fused kernel (masked bands keep the XLA path: the vmask
+            # channel is not plumbed through the kernel)
+            from ..pallas.band_resample import pallas_band_resample
+
+            z, ok = pallas_band_resample(
+                self.band.plane, x, y,
+                chunk=self.chunk, wr=self.wr, wc=self.wc,
+            )
+        else:
+            z, ok = _band_resample(
+                self.band.plane, self.band.vmask, x, y,
+                chunk=self.chunk, wr=self.wr, wc=self.wc,
+                masked=self.band.masked,
+            )
         return z[:n], ok[:n]
 
 
@@ -561,7 +589,8 @@ class AtlasResampler:
     cost is one `_band_resample`-shaped pass regardless of page count)."""
 
     def __init__(self, grid: RegularGrid, atlas: BandAtlas, *, chunk: int = 512,
-                 win_rows: int = 48, win_cols: int = 128):
+                 win_rows: int = 48, win_cols: int = 128,
+                 backend: str = "auto"):
         _, R, C = atlas.shape
         self.grid = grid
         self.atlas = atlas
@@ -569,6 +598,7 @@ class AtlasResampler:
         self.wr = min(int(win_rows), R)
         self.wc = min(int(win_cols), C)
         self.dtype = atlas.planes.dtype
+        self.backend = _resolve_resample_backend(backend, self.dtype)
 
     def resample(self, lons, lats):
         """Returns (values, resolved_mask); unresolved entries are NaN."""
@@ -580,11 +610,21 @@ class AtlasResampler:
         if pad:
             x = jnp.concatenate([x, jnp.broadcast_to(x[-1], (pad,))])
             y = jnp.concatenate([y, jnp.broadcast_to(y[-1], (pad,))])
-        z, ok = _atlas_resample(
-            self.atlas.planes, self.atlas.vmasks, self.atlas.origins, x, y,
-            chunk=self.chunk, wr=self.wr, wc=self.wc, masked=self.atlas.masked,
-            pick=self.atlas.planes.shape[0] > 1,
-        )
+        if self.backend == "pallas" and not self.atlas.masked:
+            from ..pallas.band_resample import pallas_atlas_resample
+
+            z, ok = pallas_atlas_resample(
+                self.atlas.planes, self.atlas.origins, x, y,
+                chunk=self.chunk, wr=self.wr, wc=self.wc,
+                pick=self.atlas.planes.shape[0] > 1,
+            )
+        else:
+            z, ok = _atlas_resample(
+                self.atlas.planes, self.atlas.vmasks, self.atlas.origins,
+                x, y, chunk=self.chunk, wr=self.wr, wc=self.wc,
+                masked=self.atlas.masked,
+                pick=self.atlas.planes.shape[0] > 1,
+            )
         return z[:n], ok[:n]
 
 

@@ -470,3 +470,64 @@ def test_clamp_tile_shrinks_to_grid():
     assert _clamp_tile((96, 80), (64, 256)) == (64, 128)
     assert _clamp_tile((7, 100), (64, 256)) == (8, 128)     # floors at one vreg tile
     assert _clamp_tile((2000, 3000), (64, 256)) == (64, 256)
+
+
+def test_pallas_band_resample_matches_xla():
+    # the VMEM-fused resample must agree with ops.band._band_resample on
+    # every query both paths resolve, and resolve a superset (wider aligned
+    # window)
+    import jax.numpy as jnp
+
+    from auvtpu.ops.band import _band_resample
+    from auvtpu.pallas.band_resample import pallas_band_resample
+
+    plane = jnp.asarray(shelf_seamount(120, 384), jnp.float32)
+    R, C = plane.shape
+    n, chunk = 2048, 256
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 1, n)
+    x = np.clip(1.0 + t * (C - 3) + rng.normal(0, 0.05, n), 0.5, C - 1.5)
+    y = np.clip(R * 0.5 + 10 * np.sin(t * 30 * np.pi)
+                + rng.normal(0, 0.05, n), 0.5, R - 1.5)
+    xd = jnp.asarray(x, jnp.float32)
+    yd = jnp.asarray(y, jnp.float32)
+    with _interp():
+        z, ok = pallas_band_resample(plane, xd, yd, chunk=chunk, wr=48, wc=128)
+    zx, okx = _band_resample(plane, None, xd, yd, chunk=chunk, wr=48, wc=128,
+                             masked=False)
+    z, ok, zx, okx = map(np.asarray, (z, ok, zx, okx))
+    assert (ok.astype(int) >= okx.astype(int)).all()
+    both = ok & okx
+    np.testing.assert_array_equal(z[both], zx[both])
+    assert np.isnan(z[~ok]).all()
+
+
+def test_pallas_atlas_resample_matches_xla():
+    import jax.numpy as jnp
+
+    from auvtpu.ops.band import _atlas_resample
+    from auvtpu.pallas.band_resample import pallas_atlas_resample
+
+    K, R, C = 3, 64, 256
+    rng = np.random.default_rng(1)
+    planes = jnp.asarray(rng.normal(0, 100, (K, R, C)), jnp.float32)
+    origins = jnp.asarray([[0.0, 0.0], [64.0, 200.0], [128.0, 400.0]],
+                          jnp.float32)
+    # queries walk through all three pages (grid-frame coords)
+    n, chunk = 1536, 128
+    t = np.linspace(0, 1, n)
+    x = 2.0 + t * 600.0
+    y = 2.0 + t * 180.0 + 3 * np.sin(t * 25 * np.pi)
+    xd = jnp.asarray(x, jnp.float32)
+    yd = jnp.asarray(y, jnp.float32)
+    vmasks = jnp.ones_like(planes)
+    with _interp():
+        z, ok = pallas_atlas_resample(planes, origins, xd, yd, chunk=chunk,
+                                      wr=32, wc=128)
+    zx, okx = _atlas_resample(planes, vmasks, origins, xd, yd, chunk=chunk,
+                              wr=32, wc=128, masked=False)
+    z, ok, zx, okx = map(np.asarray, (z, ok, zx, okx))
+    assert ok.mean() > 0.8 and (ok.astype(int) >= okx.astype(int)).all()
+    both = ok & okx
+    np.testing.assert_array_equal(z[both], zx[both])
+    assert np.isnan(z[~ok]).all()
