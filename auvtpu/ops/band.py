@@ -797,7 +797,19 @@ class BandRouter:
         if self._band is None and self._atlas is None:
             raise RuntimeError("refresh() before prepare()")
         if grid is not None:
+            # new observations (e.g. a streaming mosaic snapshot): the
+            # escalation engine must see the SAME grid the band is filled
+            # from, or escalated queries would answer from stale data
+            from .two_tier import TwoTierInterpolator
+
             self.grid = grid
+            self.two_tier = TwoTierInterpolator(
+                grid, convention=self.convention,
+                escalate_cap=self.two_tier.escalate_cap,
+                backend=self.two_tier.backend,
+            )
+            if self._resampler is not None:
+                self._resampler.grid = grid
         if self._atlas is not None:
             _, pr, pc = self._atlas.shape
             placed = self._atlas.placed or tuple(

@@ -288,6 +288,19 @@ class StreamingInterpolator:
         when fit_variogram() has run."""
         return self._window(center_row, center_col, method="kriging", variance=True)
 
+    def grid(self) -> RegularGrid:
+        """Device-resident RegularGrid view of the mosaic (flushes staged
+        observations first) — the hand-off to serving surfaces, e.g. the
+        real-time mission loop: ``si.ingest(...)`` per swath, then
+        ``router.refresh(grid=si.grid())`` and resample the upcoming track
+        (ops.band.BandRouter).  No host copies; the planes are shared."""
+        self.flush()
+        return RegularGrid(
+            elev=self.elev, valid=self.valid,
+            min_lon=self._meta[0], max_lon=self._meta[1],
+            min_lat=self._meta[2], max_lat=self._meta[3],
+        )
+
     def snapshot(self) -> np.ndarray:
         """Host copy of the mosaic with NaN gaps (reference representation)."""
         self.flush()

@@ -319,3 +319,52 @@ def test_auto_window_shrinks_and_matches_fixed():
     zf, okf = fixed._resampler.resample(lon, lat)
     assert np.asarray(oka).all() and np.asarray(okf).all()
     np.testing.assert_array_equal(np.asarray(za), np.asarray(zf))
+
+
+def test_streaming_mission_loop():
+    # the real-time AUV loop: streaming ingest -> router.refresh(si.grid())
+    # -> resample the upcoming track.  New observations must propagate into
+    # BOTH the band fill and the escalation engine.
+    from auvtpu.streaming import StreamingInterpolator
+
+    H, W = 96, 256
+    ext = EXT
+    si = StreamingInterpolator((H, W), ext, swath_cap=512, method="kriging",
+                               backend="xla")
+    rng = np.random.default_rng(3)
+
+    def swath(c0, c1):
+        """Observe a block of columns on every 2nd row (sonar-like)."""
+        rows, cols = np.mgrid[0:H:2, c0:c1]
+        rows, cols = rows.ravel(), cols.ravel()
+        vals = (100.0 + rows * 0.5 + cols * 0.25).astype(np.float64)
+        si.ingest(rows, cols, vals)
+        return vals
+
+    swath(0, 128)  # first half surveyed
+    router = BandRouter(si.grid(), chunk=64, win_rows=32, win_cols=128,
+                        fill_backend="xla")
+    n = 512
+    t = np.linspace(0, 1, n)
+    x = 2.0 + t * 120.0          # track inside the surveyed half
+    y = H * 0.5 + 3 * np.sin(t * 20 * np.pi)
+    lon = ext.min_lon + x * router.grid.lon_step
+    lat = ext.min_lat + y * router.grid.lat_step
+    router.prepare(lon, lat)
+    z1 = np.asarray(router.kriging(lon, lat, force="band"))
+    assert np.isfinite(z1).all()
+    want = 100.0 + y * 0.5 + x * 0.25  # linear field: bilinear is exact
+    np.testing.assert_allclose(z1, want, atol=1.0)  # odd rows are kriged
+
+    # second half arrives; refresh must propagate to fill AND escalation
+    swath(128, 256)
+    router.refresh(grid=si.grid())
+    x2 = 130.0 + t * 110.0       # track in the NEWLY surveyed half
+    lon2 = ext.min_lon + x2 * router.grid.lon_step
+    z2 = np.asarray(router.kriging(lon2, lat, force="band"))
+    assert np.isfinite(z2).all()
+    want2 = 100.0 + y * 0.5 + x2 * 0.25
+    # band geometry was prepared on the OLD track; the new track largely
+    # escalates — escalation must answer from the REFRESHED grid
+    np.testing.assert_allclose(z2, want2, atol=1.0)
+    assert router.two_tier.grid is router.grid  # no stale escalation engine
