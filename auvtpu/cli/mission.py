@@ -35,15 +35,21 @@ def log(*a):
 
 def synthetic_trajectory(kind: str, grid: RegularGrid, n: int, seed: int = 0):
     """The probe workloads: 'band' = monotone lon sweep + cross-track weave
-    inside a ~120-row band; 'diagonal' = corner-to-corner weaving corridor."""
+    inside a ~120-row band; 'diagonal' = corner-to-corner weaving corridor.
+    The weave period is fixed in PINGS (the chip probes' 5M-sample cadence:
+    ~12.5k pings/cycle, so a 512-ping chunk spans ~14 rows), NOT in track
+    fraction — otherwise small --pings counts would compress the weave until
+    every chunk spans the full amplitude and nothing fits the resample
+    window."""
     H, W = grid.shape
     t = np.linspace(0.0, 1.0, n)
     rng = np.random.default_rng(seed)
     x = 1.0 + t * (W - 3)
+    weave = np.sin(np.arange(n) * (2.0 * np.pi / 12_500.0))
     if kind == "band":
-        y = H * 0.45 + min(55.0, H * 0.1) * np.sin(t * 800 * np.pi)
+        y = H * 0.45 + min(55.0, H * 0.1) * weave
     elif kind == "diagonal":
-        y = 1.0 + t * (H - 3) + min(55.0, H * 0.05) * np.sin(t * 800 * np.pi)
+        y = 1.0 + t * (H - 3) + min(55.0, H * 0.05) * weave
     else:
         raise ValueError(kind)
     x = np.clip(x + rng.normal(0, 0.05, n), 0.5, W - 1.5)
@@ -158,10 +164,11 @@ def main(argv=None):
         extent = (grid.min_lon, grid.max_lon, grid.min_lat, grid.max_lat)
         fp = os.path.join(args.export_dir, "mission_fill.bin")
         rp = os.path.join(args.export_dir, "mission_resample.bin")
+        # router.fill_backend is the RESOLVED backend (auto -> fused on TPU
+        # f32): the artifact must reproduce the live router's fill exactly
         nf = export_mission_fill(
             fp, grid.shape, placed, pr, pc, extent=extent,
-            convention=args.convention,
-            fill_backend="xla" if args.fill_backend == "auto" else args.fill_backend)
+            convention=args.convention, fill_backend=router.fill_backend)
         rs = router._resampler  # auto_window may have shrunk wr/wc
         nr = export_mission_resample(
             rp, grid.shape, placed, pr, pc, len(lon), extent=extent,

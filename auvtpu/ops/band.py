@@ -695,22 +695,52 @@ class BandRouter:
         self._band = None
         self._atlas = None
         self._resampler = None
+        self._plan_cache = None
 
     # -- band management ---------------------------------------------------
-    def band_bbox(self, lons, lats):
+    def _plan(self, lons, lats, mb: int):
+        """Chunk boxes + (mb>1) segment plan, cached on the query-array
+        identities so route() and the prepare() that usually follows share
+        ONE device reduction + host plan.  The id()-based key can only go
+        stale between two DIFFERENT batches whose arrays alias ids; a stale
+        hit costs band-geometry quality (escalation keeps answers correct),
+        never wrong values.  prepare() consumes (clears) the cache."""
+        key = (id(lons), id(lats), int(np.shape(lons)[0]), int(mb))
+        if self._plan_cache is not None and self._plan_cache[0] == key:
+            return self._plan_cache[1], self._plan_cache[2]
+        x, y = self.grid.lonlat_to_xy(
+            jnp.asarray(lons, self.grid.dtype),
+            jnp.asarray(lats, self.grid.dtype),
+        )
+        boxes = _trajectory_boxes(x, y, self.chunk)
+        segs = (
+            plan_segments(x, y, chunk=self.chunk, max_bands=mb,
+                          grid_shape=self.grid.shape, boxes=boxes)
+            if mb > 1 else None
+        )
+        self._plan_cache = (key, boxes, segs)
+        return boxes, segs
+
+    def band_bbox(self, lons, lats, *, boxes=None):
         """Snap the query bbox (+1 cell bilinear support) to a band shape:
         rows to multiples of 8, cols to multiples of 128 (tile-aligned fills),
-        clipped to the grid."""
-        x, y = self.grid.lonlat_to_xy(jnp.asarray(lons, self.grid.dtype),
-                                      jnp.asarray(lats, self.grid.dtype))
+        clipped to the grid.  ``boxes`` (per-chunk int bboxes from
+        _trajectory_boxes) skips the device reduction when already known."""
         H, W = self.grid.shape
-        # ONE device round trip for all 4 scalars (the tunnel costs ~27 ms
-        # per readback)
-        ext = np.asarray(jnp.stack([
-            jnp.floor(jnp.min(x)), jnp.floor(jnp.max(x)),
-            jnp.floor(jnp.min(y)), jnp.floor(jnp.max(y)),
-        ]))
-        x0, x1, y0, y1 = int(ext[0]), int(ext[1]) + 1, int(ext[2]), int(ext[3]) + 1
+        if boxes is not None:
+            x0, x1 = int(boxes[:, 0].min()), int(boxes[:, 1].max())
+            y0, y1 = int(boxes[:, 2].min()), int(boxes[:, 3].max())
+        else:
+            x, y = self.grid.lonlat_to_xy(jnp.asarray(lons, self.grid.dtype),
+                                          jnp.asarray(lats, self.grid.dtype))
+            # ONE device round trip for all 4 scalars (the tunnel costs
+            # ~27 ms per readback)
+            ext = np.asarray(jnp.stack([
+                jnp.floor(jnp.min(x)), jnp.floor(jnp.max(x)),
+                jnp.floor(jnp.min(y)), jnp.floor(jnp.max(y)),
+            ]))
+            x0, x1 = int(ext[0]), int(ext[1]) + 1
+            y0, y1 = int(ext[2]), int(ext[3]) + 1
         r0 = max(0, min(y0, H - 2))
         c0 = max(0, min(x0, W - 2))
         nrows = min(_ceil_to(max(y1 - r0 + 1, 8), 8), H)
@@ -732,23 +762,14 @@ class BandRouter:
         boxes = None
         wr, wc = self.win_rows, self.win_cols
         if mb > 1 or self.auto_window:
-            x, y = self.grid.lonlat_to_xy(
-                jnp.asarray(lons, self.grid.dtype),
-                jnp.asarray(lats, self.grid.dtype),
-            )
-            boxes = _trajectory_boxes(x, y, self.chunk)
+            boxes, segs = self._plan(lons, lats, mb)
+            self._plan_cache = None  # consumed; see _plan
         if self.auto_window:
             # window must hold the chunk's [floor(min), floor(max)+1] support:
             # boxes already carry the +1 cell, so the requirement is
             # (b[3]-b[2])+1 rows; +1 slack absorbs refresh-time drift
             wr = min(wr, max(8, _ceil_to(int((boxes[:, 3] - boxes[:, 2]).max()) + 2, 8)))
             wc = min(wc, max(_LANES, _ceil_to(int((boxes[:, 1] - boxes[:, 0]).max()) + 2, _LANES)))
-        self._win = (wr, wc)
-        if mb > 1:
-            segs = plan_segments(
-                x, y, chunk=self.chunk, max_bands=mb,
-                grid_shape=self.grid.shape, boxes=boxes,
-            )
         if segs is not None and len(segs) > 1:
             self._atlas = build_atlas(
                 self.grid, segs, margin=self.margin,
@@ -761,7 +782,7 @@ class BandRouter:
                 win_rows=wr, win_cols=wc,
             )
             return self._atlas
-        r0, nr, c0, nc = self.band_bbox(lons, lats)
+        r0, nr, c0, nc = self.band_bbox(lons, lats, boxes=boxes)
         self._band = self._fill_one(r0, nr, c0, nc, None, **fill_kw)
         self._atlas = None
         self._resampler = BandResampler(
@@ -774,16 +795,24 @@ class BandRouter:
         """Single-band fill through the one-dispatch jitted path (K=1
         `_fill_pages`): a raw fill_band call pays ~10 ms of fixed host
         dispatch over the tunnel (results/atlas_fill_probe_r4.txt).
-        masked=None syncs once to pick the resample fast path."""
-        planes, vmasks = _fill_pages(
-            self.grid, fill_kw.pop("vparams", None),
-            placed=((int(row0), int(col0)),), pr=int(nrows), pc=int(ncols),
-            method=fill_kw.pop("method", "kriging"), margin=self.margin,
-            fill_backend=self.fill_backend, convention=self.convention,
-            model=fill_kw.pop("model", "exponential"),
-        )
+        masked=None syncs once to pick the resample fast path (callers may
+        pre-pin it via assume_masked, same as fill_band)."""
+        vparams = fill_kw.pop("vparams", None)
+        method = fill_kw.pop("method", "kriging")
+        model = fill_kw.pop("model", "exponential")
+        if masked is None:
+            masked = fill_kw.pop("assume_masked", None)
+        else:
+            fill_kw.pop("assume_masked", None)
         if fill_kw:
             raise TypeError(f"unsupported fill kwargs: {sorted(fill_kw)}")
+        planes, vmasks = _fill_pages(
+            self.grid, vparams,
+            placed=((int(row0), int(col0)),), pr=int(nrows), pc=int(ncols),
+            method=method, margin=self.margin,
+            fill_backend=self.fill_backend, convention=self.convention,
+            model=model,
+        )
         if masked is None:
             masked = bool(jnp.min(vmasks) < 0.5)  # 1 sync (prepare only)
         return Band(plane=planes[0], vmask=vmasks[0], masked=bool(masked),
@@ -800,10 +829,11 @@ class BandRouter:
             # new observations (e.g. a streaming mosaic snapshot): the
             # escalation engine must see the SAME grid the band is filled
             # from, or escalated queries would answer from stale data
-            from .two_tier import TwoTierInterpolator
-
             self.grid = grid
-            self.two_tier = TwoTierInterpolator(
+            # rebuild with type() so a caller-supplied TwoTier SUBCLASS is
+            # preserved; engines with richer state must be refreshed by the
+            # caller and passed back via BandRouter.two_tier before refresh
+            self.two_tier = type(self.two_tier)(
                 grid, convention=self.convention,
                 escalate_cap=self.two_tier.escalate_cap,
                 backend=self.two_tier.backend,
@@ -818,15 +848,18 @@ class BandRouter:
             )
             # fill dispatch ONLY: reuse the atlas geometry (origins stay on
             # device, placed tuple is host-cached) — no readbacks/uploads
-            planes, vmasks = _fill_pages(
-                self.grid, fill_kw.pop("vparams", None), placed=placed,
-                pr=pr, pc=pc, method=fill_kw.pop("method", "kriging"),
-                margin=self.margin, fill_backend=self.fill_backend,
-                convention=self.convention,
-                model=fill_kw.pop("model", "exponential"),
-            )
+            vparams = fill_kw.pop("vparams", None)
+            method = fill_kw.pop("method", "kriging")
+            model = fill_kw.pop("model", "exponential")
+            fill_kw.pop("assume_masked", None)  # atlas masked flag is pinned
             if fill_kw:
                 raise TypeError(f"unsupported refresh kwargs: {sorted(fill_kw)}")
+            planes, vmasks = _fill_pages(
+                self.grid, vparams, placed=placed,
+                pr=pr, pc=pc, method=method,
+                margin=self.margin, fill_backend=self.fill_backend,
+                convention=self.convention, model=model,
+            )
             self._atlas = dataclasses.replace(
                 self._atlas, planes=planes, vmasks=vmasks, placed=placed)
             self._resampler.atlas = self._atlas
@@ -839,8 +872,14 @@ class BandRouter:
 
     # -- routing -----------------------------------------------------------
     def coherence(self, lons, lats):
-        """Fraction of chunks whose bounding box fits the (wr, wc) window —
-        ONE scalar readback; cheap (two min/max passes over N)."""
+        """Fraction of chunks whose bounding box fits the resample window —
+        ONE scalar readback; cheap (two min/max passes over N).  Uses the
+        LIVE resampler's window when one exists (auto_window may have shrunk
+        it below the configured win_rows/win_cols)."""
+        if self._resampler is not None:
+            wr, wc = self._resampler.wr, self._resampler.wc
+        else:
+            wr, wc = self.win_rows, self.win_cols
         x, y = self.grid.lonlat_to_xy(jnp.asarray(lons, self.grid.dtype),
                                       jnp.asarray(lats, self.grid.dtype))
         n = x.shape[0]
@@ -851,8 +890,8 @@ class BandRouter:
         xc = x.reshape(-1, self.chunk)
         yc = y.reshape(-1, self.chunk)
         fit = (
-            (jnp.max(xc, axis=1) - jnp.min(xc, axis=1) < self.win_cols - 2)
-            & (jnp.max(yc, axis=1) - jnp.min(yc, axis=1) < self.win_rows - 2)
+            (jnp.max(xc, axis=1) - jnp.min(xc, axis=1) < wc - 2)
+            & (jnp.max(yc, axis=1) - jnp.min(yc, axis=1) < wr - 2)
         )
         return float(jnp.mean(fit.astype(jnp.float32)))
 
@@ -867,21 +906,14 @@ class BandRouter:
             fill = 0.0
             cells = (self._band or self._atlas).cells
         else:
-            if self.max_bands > 1:
-                x, y = self.grid.lonlat_to_xy(
-                    jnp.asarray(lons, self.grid.dtype),
-                    jnp.asarray(lats, self.grid.dtype),
-                )
-                segs = plan_segments(
-                    x, y, chunk=self.chunk, max_bands=self.max_bands,
-                    grid_shape=self.grid.shape,
-                )
+            boxes, segs = self._plan(lons, lats, self.max_bands)
+            if segs is not None and len(segs) > 1:
                 # pages share the max segment shape (build_atlas)
                 pr = max(nr for (_, _, nr, _) in segs)
                 pc = max(nc for (_, _, _, nc) in segs)
                 cells = len(segs) * pr * pc
             else:
-                r0, nr, c0, nc = self.band_bbox(lons, lats)
+                r0, nr, c0, nc = self.band_bbox(lons, lats, boxes=boxes)
                 cells = nr * nc
             fill = c["dispatch"] + c["fill_per_cell"] * cells
         band = (
