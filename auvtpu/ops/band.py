@@ -547,16 +547,11 @@ def _fill_pages(grid: RegularGrid, vparams, *, placed, pr: int, pc: int,
             jnp.stack([b.vmask for b in bands]))
 
 
-def build_atlas(grid: RegularGrid, segments, *, method: str = "kriging",
-                margin: int = 10, fill_backend: str = "xla",
-                convention: str = "reference", vparams=None,
-                model: str = "exponential",
-                assume_masked: bool | None = None) -> BandAtlas:
-    """Fill one page per planned segment, all re-placed to a common snapped
-    shape (the max over segments, centered on each segment, shifted inside
-    the grid).  Equal shapes mean ONE fill compilation serves every page,
-    and all pages fill in one jitted dispatch (`_fill_pages`)."""
-    H, W = grid.shape
+def place_segments(segments, shape):
+    """Re-place planned segments to a common snapped page shape (the max
+    over segments, centered on each segment, shifted inside the grid).
+    Returns (placed (row0, col0) tuples, pr, pc)."""
+    H, W = shape
     pr = max(nr for (_, _, nr, _) in segments)
     pc = max(nc for (_, _, _, nc) in segments)
     pr, pc = min(pr, H), min(pc, W)
@@ -566,6 +561,18 @@ def build_atlas(grid: RegularGrid, segments, *, method: str = "kriging",
         rp = max(0, min(r0 - (pr - nr) // 2, H - pr))
         cp = max(0, min(c0 - (pc - nc) // 2, W - pc))
         placed.append((rp, cp))
+    return tuple(placed), pr, pc
+
+
+def build_atlas(grid: RegularGrid, segments, *, method: str = "kriging",
+                margin: int = 10, fill_backend: str = "xla",
+                convention: str = "reference", vparams=None,
+                model: str = "exponential",
+                assume_masked: bool | None = None) -> BandAtlas:
+    """Fill one page per planned segment, all re-placed to a common snapped
+    shape (place_segments).  Equal shapes mean ONE fill compilation serves
+    every page, and all pages fill in one jitted dispatch (`_fill_pages`)."""
+    placed, pr, pc = place_segments(segments, grid.shape)
     planes, vmasks = _fill_pages(
         grid, vparams, placed=tuple(placed), pr=pr, pc=pc, method=method,
         margin=margin, fill_backend=fill_backend, convention=convention,

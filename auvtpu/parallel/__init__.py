@@ -14,10 +14,13 @@ TPU-native equivalents here:
 """
 
 from .mesh import make_mesh, make_mesh2d, replicated, shard_queries
+from .mission import build_atlas_sharded, fill_page_dynamic
 from .spatial import sharded_fill, sharded_fill2d, sharded_fit_fill
 from .streaming import ShardedStreamingInterpolator, ShardedStreamingInterpolator2D
 
 __all__ = [
+    "build_atlas_sharded",
+    "fill_page_dynamic",
     "make_mesh",
     "make_mesh2d",
     "replicated",

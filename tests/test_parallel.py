@@ -163,3 +163,46 @@ def test_sharded_fit_fill_fused_backend_matches_xla(masked_grid):
     assert (np.isnan(got) == np.isnan(want)).all()
     m = ~np.isnan(want)
     np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=0.05)
+
+
+def test_sharded_atlas_bit_equal():
+    # K pages filled one-per-device over the 8-dev mesh == single-device
+    # build_atlas, bit for bit (interior AND grid-edge pages), and the
+    # sharded atlas serves through the same resampler
+    import numpy as np
+
+    from auvtpu.config import Extent
+    from auvtpu.grid import RegularGrid
+    from auvtpu.masking import mask_grid
+    from auvtpu.ops.band import AtlasResampler, build_atlas, plan_segments
+    from auvtpu.parallel import build_atlas_sharded, make_mesh
+    from auvtpu.synthetic import shelf_seamount
+
+    H, W = 192, 384
+    ext = Extent(0.0, float(W - 1), 0.0, float(H - 1))
+    reduced, _, _ = mask_grid(shelf_seamount(H, W), 0.12, seed=4)
+    grid = RegularGrid.from_nan_array(reduced, ext)
+    # diagonal mission touching both grid corners -> edge pages included
+    n = 4096
+    t = np.linspace(0, 1, n)
+    rng = np.random.default_rng(0)
+    x = np.clip(1.0 + t * (W - 3) + rng.normal(0, 0.05, n), 0.5, W - 1.5)
+    y = np.clip(1.0 + t * (H - 3) + 2 * np.sin(t * 20 * np.pi), 0.5, H - 1.5)
+    segs = plan_segments(x, y, chunk=256, max_bands=6, grid_shape=grid.shape)
+    assert len(segs) > 1
+
+    ref = build_atlas(grid, segs, fill_backend="xla")
+    mesh = make_mesh(8, axis="pages")
+    got = build_atlas_sharded(grid, segs, mesh, fill_backend="xla")
+    assert got.masked == ref.masked and got.placed == ref.placed
+    np.testing.assert_array_equal(np.asarray(got.planes), np.asarray(ref.planes))
+    np.testing.assert_array_equal(np.asarray(got.vmasks), np.asarray(ref.vmasks))
+
+    lon = ext.min_lon + x * grid.lon_step
+    lat = ext.min_lat + y * grid.lat_step
+    rs = AtlasResampler(grid, got, chunk=256)
+    rs_ref = AtlasResampler(grid, ref, chunk=256)
+    z, ok = rs.resample(lon, lat)
+    zr, okr = rs_ref.resample(lon, lat)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(okr))
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(zr))
