@@ -107,8 +107,8 @@ def main(argv=None):
 
     if args.trajectory_csv:
         track = np.genfromtxt(args.trajectory_csv, delimiter=",", names=True)
-        lon = np.asarray(track["lon"], np.float32)
-        lat = np.asarray(track["lat"], np.float32)
+        lon = np.atleast_1d(np.asarray(track["lon"], np.float32))
+        lat = np.atleast_1d(np.asarray(track["lat"], np.float32))
     else:
         lon, lat = synthetic_trajectory(args.synthetic, grid, args.pings,
                                         args.seed)
@@ -122,7 +122,9 @@ def main(argv=None):
     )
     choice = args.force or router.route(lon, lat)
     log(f"route: {choice}" + (" (forced)" if args.force else
-                              f" (coherence {router.coherence(lon, lat):.4f})"))
+                              f" (coherence {router.last_coherence:.4f})"))
+    if args.export_dir and choice != "band":
+        p.error("--export-dir requires the band path (use --force band)")
 
     t0 = time.perf_counter()
     if choice == "band":
@@ -139,8 +141,8 @@ def main(argv=None):
     wall = time.perf_counter() - t0
     assert np.isfinite(z).all(), "mission serving produced non-finite depths"
     if choice == "band":
-        _, ok = router._resampler.resample(lon, lat)
-        resolved = float(np.asarray(ok).mean())
+        # kriging() recorded the unresolved count from its own resample
+        resolved = 1.0 - router.last_unresolved / len(z)
         log(f"resolved in-band: {resolved:.4f} (rest escalated to exact "
             "two-tier kriging)")
     log(f"served {len(z)} pings in {wall * 1e3:.0f} ms cold "
@@ -150,17 +152,15 @@ def main(argv=None):
         write_points_csv(args.out, lon, lat, z)
         log(f"wrote {args.out}")
     if args.export_dir:
-        if choice != "band" or router._resampler is None:
-            p.error("--export-dir requires the band path (use --force band)")
         from ..serve import export_mission_fill, export_mission_resample
 
         os.makedirs(args.export_dir, exist_ok=True)
         a = router._atlas
         if a is not None:
-            placed, (_, pr, pc), masked = a.placed, a.shape, a.masked
+            placed, (_, pr, pc) = a.placed, a.shape
         else:
             b = router._band
-            placed, (pr, pc), masked = ((b.row0, b.col0),), b.shape, b.masked
+            placed, (pr, pc) = ((b.row0, b.col0),), b.shape
         extent = (grid.min_lon, grid.max_lon, grid.min_lat, grid.max_lat)
         fp = os.path.join(args.export_dir, "mission_fill.bin")
         rp = os.path.join(args.export_dir, "mission_resample.bin")
@@ -170,10 +170,13 @@ def main(argv=None):
             fp, grid.shape, placed, pr, pc, extent=extent,
             convention=args.convention, fill_backend=router.fill_backend)
         rs = router._resampler  # auto_window may have shrunk wr/wc
+        # masked=True is FROZEN into the artifact and always-correct: a
+        # production refresh may leave page cells undefined even if this
+        # build resolved everything (serve.export_mission_resample docs)
         nr = export_mission_resample(
             rp, grid.shape, placed, pr, pc, len(lon), extent=extent,
             chunk=args.chunk, win_rows=rs.wr, win_cols=rs.wc,
-            masked=masked)
+            masked=True)
         log(f"exported serving pair: {fp} ({nf} B), {rp} ({nr} B)")
     return 0
 

@@ -703,6 +703,8 @@ class BandRouter:
         self._atlas = None
         self._resampler = None
         self._plan_cache = None
+        self.last_coherence = None   # set by route()
+        self.last_unresolved = None  # set by kriging()'s band path
 
     # -- band management ---------------------------------------------------
     def _plan(self, lons, lats, mb: int):
@@ -907,6 +909,7 @@ class BandRouter:
         amortizes the fill (serving mode: many batches per band)."""
         n = int(np.shape(lons)[0])
         frac = self.coherence(lons, lats)
+        self.last_coherence = frac
         c = self.cost_ns
         packed = c["packed_per_query"] * n
         if band_ready and (self._band is not None or self._atlas is not None):
@@ -941,6 +944,7 @@ class BandRouter:
             self.prepare(lons, lats)
         z, ok = self._resampler.resample(lons, lats)
         n_bad = int(jnp.sum(~ok))
+        self.last_unresolved = n_bad
         if n_bad == 0:
             return z
         # escalate unresolved queries to exact two-tier kriging (same padded

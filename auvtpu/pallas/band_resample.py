@@ -150,6 +150,27 @@ def _run(planes, pg, by, bx, lx, ly, *, chunk: int, wrp: int, wcp: int,
       planes.astype(jnp.float32)).reshape(-1)[: n]
 
 
+def _window_bases(xc, yc, R, C, Rp, Cp, wrp, wcp):
+    """Shared prologue: aligned per-chunk window bases (sublane 8 / lane 128
+    DMA alignment), the host-side resolvability mask against those windows
+    and the REAL (unpadded) plane bounds, and window-local query coords."""
+    dt = xc.dtype
+    n = xc.shape[0] * xc.shape[1]
+    x0 = jnp.floor(xc).astype(jnp.int32)
+    y0 = jnp.floor(yc).astype(jnp.int32)
+    bx = jnp.clip((jnp.min(x0, axis=1) // 128) * 128, 0, Cp - wcp)
+    by = jnp.clip((jnp.min(y0, axis=1) // 8) * 8, 0, Rp - wrp)
+    lx0 = x0 - bx[:, None]
+    ly0 = y0 - by[:, None]
+    ok = (
+        (lx0 >= 0) & (lx0 <= wcp - 2) & (ly0 >= 0) & (ly0 <= wrp - 2)
+        & (x0 >= 0) & (x0 <= C - 2) & (y0 >= 0) & (y0 <= R - 2)
+    )
+    lx = (xc - bx[:, None].astype(dt)).reshape(n, 1)
+    ly = (yc - by[:, None].astype(dt)).reshape(n, 1)
+    return bx, by, ok, lx, ly
+
+
 def _pad_planes(planes, wrp: int, wcp: int):
     K, R, C = planes.shape
     Rp = max(_ceil_to(R, 8), wrp)
@@ -178,21 +199,8 @@ def pallas_band_resample(plane, x, y, *, chunk: int = 512, wr: int = 48,
     nch = n // chunk
     xc = x.reshape(nch, chunk).astype(dt)
     yc = y.reshape(nch, chunk).astype(dt)
-    x0 = jnp.floor(xc).astype(jnp.int32)
-    y0 = jnp.floor(yc).astype(jnp.int32)
-
-    # aligned per-chunk window bases (sublane 8 / lane 128 DMA alignment)
-    bx = jnp.clip((jnp.min(x0, axis=1) // 128) * 128, 0, Cp - wcp)
-    by = jnp.clip((jnp.min(y0, axis=1) // 8) * 8, 0, Rp - wrp)
-    lx0 = x0 - bx[:, None]
-    ly0 = y0 - by[:, None]
-    ok = (
-        (lx0 >= 0) & (lx0 <= wcp - 2) & (ly0 >= 0) & (ly0 <= wrp - 2)
-        & (x0 >= 0) & (x0 <= C - 2) & (y0 >= 0) & (y0 <= R - 2)
-    ).reshape(-1)
-
-    lx = (xc - bx[:, None].astype(dt)).reshape(n, 1)
-    ly = (yc - by[:, None].astype(dt)).reshape(n, 1)
+    bx, by, ok, lx, ly = _window_bases(xc, yc, R, C, Rp, Cp, wrp, wcp)
+    ok = ok.reshape(-1)
     z = _run(planes, jnp.zeros((nch,), jnp.int32), by, bx, lx, ly,
              chunk=chunk, wrp=wrp, wcp=wcp, nbuf=nbuf, cpg=cpg)
     return jnp.where(ok, z, jnp.nan).astype(dt), ok
@@ -237,21 +245,8 @@ def pallas_atlas_resample(planes, origins, x, y, *, chunk: int = 512,
     org = origins[page]                                  # (nch, 2)
     xb = xc - org[:, 1][:, None]
     yb = yc - org[:, 0][:, None]
-    x0 = jnp.floor(xb).astype(jnp.int32)
-    y0 = jnp.floor(yb).astype(jnp.int32)
-
-    bx = jnp.clip((jnp.min(x0, axis=1) // 128) * 128, 0, Cp - wcp)
-    by = jnp.clip((jnp.min(y0, axis=1) // 8) * 8, 0, Rp - wrp)
-    lx0 = x0 - bx[:, None]
-    ly0 = y0 - by[:, None]
-    ok = (
-        (lx0 >= 0) & (lx0 <= wcp - 2) & (ly0 >= 0) & (ly0 <= wrp - 2)
-        & (x0 >= 0) & (x0 <= C - 2) & (y0 >= 0) & (y0 <= R - 2)
-        & any_fit[:, None]
-    ).reshape(-1)
-
-    lx = (xb - bx[:, None].astype(dt)).reshape(n, 1)
-    ly = (yb - by[:, None].astype(dt)).reshape(n, 1)
+    bx, by, ok, lx, ly = _window_bases(xb, yb, R, C, Rp, Cp, wrp, wcp)
+    ok = (ok & any_fit[:, None]).reshape(-1)
     z = _run(planes, page, by, bx, lx, ly,
              chunk=chunk, wrp=wrp, wcp=wcp, nbuf=nbuf, cpg=cpg)
     return jnp.where(ok, z, jnp.nan).astype(dt), ok

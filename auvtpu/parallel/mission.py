@@ -128,6 +128,17 @@ def build_atlas_sharded(grid: RegularGrid, segments, mesh: Mesh, *,
     construction (the corridor, not the grid) — and plug directly into
     AtlasResampler / BandRouter serving.
     """
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"build_atlas_sharded needs a 1-D mesh (got axes {mesh.axis_names});"
+            " a second axis would silently duplicate every page fill")
+    if margin < 10:
+        # fill_kriging/fill_idw select to radius 10 regardless of margin;
+        # fill_band's edge-clipped crop and this fixed-size shifted window
+        # then expose DIFFERENT neighbor content at grid-edge pages, breaking
+        # the bit-equality contract with build_atlas
+        raise ValueError("build_atlas_sharded requires margin >= 10 "
+                         "(the fills' max selection radius)")
     placed, pr, pc = place_segments(segments, grid.shape)
     K = len(placed)
     D = int(mesh.devices.size)

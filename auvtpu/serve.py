@@ -29,6 +29,19 @@ from jax import export as jexport
 from .grid import RegularGrid
 
 
+def _export_artifact(path: str, fn, specs, platforms):
+    """Shared export tail: trace+lower the jitted fn at the given arg specs,
+    serialize, write, return the byte size."""
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    exp = jexport.export(jax.jit(fn), **kw)(*specs)
+    blob = exp.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
 def _fill_fn(shape, extent, method, max_radius, vparams, convention, backend):
     from .ops import fill_idw, fill_kriging, fill_window_mean
 
@@ -61,14 +74,7 @@ def export_fill(path: str, shape, *, extent=(0.0, 1.0, 0.0, 1.0), method: str = 
     Returns the byte size written."""
     fill = _fill_fn(tuple(shape), tuple(extent), method, max_radius, vparams, convention, backend)
     spec = jax.ShapeDtypeStruct(tuple(shape), jnp.float32)
-    kw = {}
-    if platforms is not None:
-        kw["platforms"] = tuple(platforms)
-    exp = jexport.export(jax.jit(fill), **kw)(spec, spec)
-    blob = exp.serialize()
-    with open(path, "wb") as f:
-        f.write(blob)
-    return len(blob)
+    return _export_artifact(path, fill, (spec, spec), platforms)
 
 
 def load_exported(path: str):
@@ -125,14 +131,7 @@ def export_scattered(path: str, shape, n_queries: int, *, extent=(0.0, 1.0, 0.0,
     plane = jax.ShapeDtypeStruct((H, W), jnp.float32)
     pack = jax.ShapeDtypeStruct((H * W * P,), jnp.float32)  # flat pack layout
     q = jax.ShapeDtypeStruct((n_queries,), jnp.float32)
-    kw = {}
-    if platforms is not None:
-        kw["platforms"] = tuple(platforms)
-    exp = jexport.export(jax.jit(run), **kw)(pack, plane, plane, q, q)
-    blob = exp.serialize()
-    with open(path, "wb") as f:
-        f.write(blob)
-    return len(blob)
+    return _export_artifact(path, run, (pack, plane, plane, q, q), platforms)
 
 
 def load_exported_scattered(path: str):
@@ -167,14 +166,8 @@ def export_learned(path: str, shape, params, *, extent=(0.0, 1.0, 0.0, 1.0), wid
         return fill_learned(g, params, width=width, depth=depth, convention=convention)
 
     spec = jax.ShapeDtypeStruct(tuple(shape), jnp.float32)
-    kw = {}
-    if platforms is not None:
-        kw["platforms"] = tuple(platforms)
-    exp = jexport.export(jax.jit(fill), **kw)(spec, spec)
-    blob = exp.serialize()
-    with open(path, "wb") as f:
-        f.write(blob)
-    return len(blob)
+    return _export_artifact(path, fill, (spec, spec), platforms)
+
 
 def _mission_fill_fn(shape, extent, placed, pr, pc, method, margin,
                      fill_backend, convention, model):
@@ -212,14 +205,7 @@ def export_mission_fill(path: str, shape, placed, pr: int, pc: int, *,
         tuple(shape), tuple(extent), tuple(tuple(p) for p in placed),
         int(pr), int(pc), method, margin, fill_backend, convention, model)
     spec = jax.ShapeDtypeStruct(tuple(shape), jnp.float32)
-    kw = {}
-    if platforms is not None:
-        kw["platforms"] = tuple(platforms)
-    exp = jexport.export(jax.jit(fill), **kw)(spec, spec)
-    blob = exp.serialize()
-    with open(path, "wb") as f:
-        f.write(blob)
-    return len(blob)
+    return _export_artifact(path, fill, (spec, spec), platforms)
 
 
 def _mission_resample_fn(shape, extent, placed, chunk, wr, wc, masked):
@@ -260,7 +246,10 @@ def export_mission_resample(path: str, shape, placed, pr: int, pc: int,
     ``run(planes, vmasks, lons, lats) -> (z, resolved)``.  Unresolved
     queries (page straddle / undefined cells) return NaN + False and should
     escalate to the exported scattered engine — the same two-tier shape as
-    the live BandRouter.  Returns the byte size written."""
+    the live BandRouter.  ``masked`` is FROZEN into the artifact: pin it
+    True for production refresh loops (always-correct — the vmask channel
+    rides along), False only if every future refresh provably resolves all
+    page cells.  Returns the byte size written."""
     placed = tuple(tuple(p) for p in placed)
     run = _mission_resample_fn(
         tuple(shape), tuple(extent), placed, int(chunk),
@@ -268,14 +257,7 @@ def export_mission_resample(path: str, shape, placed, pr: int, pc: int,
         bool(masked))
     pages = jax.ShapeDtypeStruct((len(placed), int(pr), int(pc)), jnp.float32)
     q = jax.ShapeDtypeStruct((int(n_queries),), jnp.float32)
-    kw = {}
-    if platforms is not None:
-        kw["platforms"] = tuple(platforms)
-    exp = jexport.export(jax.jit(run), **kw)(pages, pages, q, q)
-    blob = exp.serialize()
-    with open(path, "wb") as f:
-        f.write(blob)
-    return len(blob)
+    return _export_artifact(path, run, (pages, pages, q, q), platforms)
 
 
 def load_exported_mission(fill_path: str, resample_path: str):
