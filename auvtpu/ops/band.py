@@ -704,7 +704,8 @@ class BandRouter:
         self._resampler = None
         self._plan_cache = None
         self.last_coherence = None   # set by route()
-        self.last_unresolved = None  # set by kriging()'s band path
+        self.last_unresolved = None  # set by the band serve path
+        self._band_method = None     # fill method the band/atlas holds
 
     # -- band management ---------------------------------------------------
     def _plan(self, lons, lats, mb: int):
@@ -767,6 +768,7 @@ class BandRouter:
         With auto_window, also size the resample window from the measured
         chunk spans (one small device readback on this cold path)."""
         mb = self.max_bands if max_bands is None else int(max_bands)
+        self._band_method = fill_kw.get("method", "kriging")
         segs = None
         boxes = None
         wr, wc = self.win_rows, self.win_cols
@@ -937,17 +939,31 @@ class BandRouter:
     def kriging(self, lons, lats, *, force: str | None = None):
         """Serve a batch: band resample with exact-kriging escalation, or the
         packed two-tier path, whichever routes cheaper (or ``force``d)."""
+        return self._serve("kriging", lons, lats, force=force)
+
+    def idw(self, lons, lats, *, force: str | None = None):
+        """IDW twin of :meth:`kriging` — requires the band/atlas to have
+        been prepared with ``method="idw"`` (the resample serves whatever
+        fill the band holds; escalation uses the matching two-tier method)."""
+        return self._serve("idw", lons, lats, force=force)
+
+    def _serve(self, method: str, lons, lats, *, force: str | None = None):
         choice = force or self.route(lons, lats, band_ready=self._resampler is not None)
+        escalate = getattr(self.two_tier, method)
         if choice == "packed":
-            return self.two_tier.kriging(lons, lats)
+            return escalate(lons, lats)
         if self._resampler is None:
-            self.prepare(lons, lats)
+            self.prepare(lons, lats, method=method)
+        elif self._band_method != method:
+            raise ValueError(
+                f"band/atlas holds a {self._band_method!r} fill; re-prepare "
+                f"with method={method!r} before serving {method}")
         z, ok = self._resampler.resample(lons, lats)
         n_bad = int(jnp.sum(~ok))
         self.last_unresolved = n_bad
         if n_bad == 0:
             return z
-        # escalate unresolved queries to exact two-tier kriging (same padded
+        # escalate unresolved queries to the exact two-tier path (same padded
         # size-bucketed nonzero scheme as two_tier._run)
         pad_n = max(64, 1 << (n_bad - 1).bit_length())
         pad_n = min(pad_n, int(ok.shape[0]))
@@ -958,7 +974,7 @@ class BandRouter:
         out = z
         for ci in range(n_chunks):
             sl = jax.lax.dynamic_slice_in_dim(idx, ci * pad_n, pad_n)
-            vals = self.two_tier.kriging(jnp.take(lons, sl), jnp.take(lats, sl))
+            vals = escalate(jnp.take(lons, sl), jnp.take(lats, sl))
             out = out.at[sl].set(vals)
         # the nonzero padding indexes slot 0: restore band values at resolved
         # queries the padded scatter may have overwritten (unlike two_tier the

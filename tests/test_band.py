@@ -368,3 +368,29 @@ def test_streaming_mission_loop():
     # escalates — escalation must answer from the REFRESHED grid
     np.testing.assert_allclose(z2, want2, atol=1.0)
     assert router.two_tier.grid is router.grid  # no stale escalation engine
+
+
+def test_router_idw_serving():
+    # idw() serves the IDW band fill with IDW escalation; method mismatch
+    # with the prepared band raises instead of silently mixing fills
+    import pytest
+
+    elev = shelf_seamount(128, 256)
+    reduced, _, _ = mask_grid(elev, 0.1, seed=2)
+    grid = RegularGrid.from_nan_array(reduced, EXT)
+    router = BandRouter(grid, chunk=64, win_rows=32, win_cols=128,
+                        fill_backend="xla")
+    lon, lat = _trajectory(grid, 1024, row_frac=0.5, row_width_frac=0.05)
+    router.prepare(lon, lat, method="idw")
+    z = np.asarray(router.idw(lon, lat, force="band"))
+    assert np.isfinite(z).all()
+    # resolved values equal the direct bilinear of the idw band plane
+    band = router._band
+    x = (lon - EXT.min_lon) / grid.lon_step - band.col0
+    y = (lat - EXT.min_lat) / grid.lat_step - band.row0
+    want = _ref_bilinear(np.asarray(band.plane, np.float64), x, y)
+    zr, ok = router._resampler.resample(lon, lat)
+    ok = np.asarray(ok)
+    assert np.abs(z[ok] - want[ok]).max() < 1e-3
+    with pytest.raises(ValueError, match="re-prepare"):
+        router.kriging(lon, lat, force="band")
