@@ -131,8 +131,13 @@ def main():
 
     # steady state: W windows of K dispatches (one readback each), median
     # window — a single window is exposed to transient tunnel stalls (this
-    # session measured +/-30% between runs; results/fill_shape_probe_r4.txt)
-    K, W = 8, 5
+    # session measured +/-30% between runs; results/fill_shape_probe_r4.txt).
+    # K=128: the tunnel's FIXED per-sync round trip drifted 14 -> 24-35 ms
+    # across sessions and at K=8 it polluted the step time by ~4 ms (the
+    # 08-19 "chip drift" was entirely this — the chip measures 195 Tflop/s
+    # MXU, results/chip_speed_probe_r4.txt).  t(K) = fixed/K + compute with
+    # compute = 2.76 ms; K=128 measures within 7% of the asymptote.
+    K, W = 128, 5
     window_s = []
     for _ in range(W):
         t0 = time.perf_counter()
@@ -144,6 +149,16 @@ def main():
     pts_per_s = n_pts / dt
     log("windows ms/step: " + " ".join(f"{w*1e3:.2f}" for w in window_s))
     log(f"steady-state (median window): {dt*1e3:.2f} ms/step -> {pts_per_s/1e6:.2f} M masked pts/s")
+    # transparency: one small-K window decomposes t(K) = fixed/K + compute so
+    # tunnel-latency drift is visible separately from on-chip speed
+    t0 = time.perf_counter()
+    for _ in range(8):
+        r, _ = step(grid, truth_d, mask_d)
+    float(r)
+    t8 = (time.perf_counter() - t0) / 8
+    fixed_ms = (t8 - dt) / (1 / 8 - 1 / K) * 1e3
+    compute_ms = dt * 1e3 - fixed_ms / K
+    log(f"decomposition: tunnel fixed ~{fixed_ms:.1f} ms/sync, on-chip ~{compute_ms:.2f} ms/step")
 
     print(
         json.dumps(
@@ -165,7 +180,8 @@ def main():
                                "bench_backend.txt"), "a") as f:
             f.write(f"{time.strftime('%Y-%m-%d %H:%M:%S')} backend={backend} "
                     f"pts_per_s={pts_per_s:.1f} rmse={rmse:.4f} "
-                    f"ms_per_step={dt*1e3:.2f}\n")
+                    f"ms_per_step={dt*1e3:.2f} K={K} "
+                    f"fixed_ms={fixed_ms:.1f} compute_ms={compute_ms:.2f}\n")
     except OSError:
         pass
 
