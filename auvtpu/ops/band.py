@@ -44,6 +44,7 @@ CUDA kernels (kernels.cu:173-546).  This module is a TPU-only capability.
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from functools import partial
 
 import jax
@@ -51,7 +52,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..grid import RegularGrid
-from ..config import Extent
 
 _LANES = 128
 
@@ -657,6 +657,35 @@ COST_NS = {
 }
 
 
+@partial(jax.jit, static_argnames=("chunk", "wr", "wc", "pr", "pc"))
+def _chunk_fit_frac(x, y, origins, *, chunk, wr, wc, pr, pc):
+    """Fraction of query chunks whose bbox fits a (wr, wc) resample window,
+    and — when ``origins`` (K,2 page row/col corners of (pr, pc) pages) is
+    given — lies inside at least one page.  One jit: routing runs per served
+    batch and un-jitted op chains pay ~10 ms host dispatch over the tunnel
+    (results/atlas_fill_probe_r4.txt)."""
+    n = x.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.concatenate([x, jnp.broadcast_to(x[-1], (pad,))])
+        y = jnp.concatenate([y, jnp.broadcast_to(y[-1], (pad,))])
+    xc = x.reshape(-1, chunk)
+    yc = y.reshape(-1, chunk)
+    xmin, xmax = jnp.min(xc, axis=1), jnp.max(xc, axis=1)
+    ymin, ymax = jnp.min(yc, axis=1), jnp.max(yc, axis=1)
+    fit = (xmax - xmin < wc - 2) & (ymax - ymin < wr - 2)
+    if origins is not None:
+        orow = origins[:, 0].astype(x.dtype)[:, None]
+        ocol = origins[:, 1].astype(x.dtype)[:, None]
+        # bilinear support: floor(x)+1 must stay inside the page
+        inside = (
+            (xmin[None, :] >= ocol) & (xmax[None, :] < ocol + (pc - 1))
+            & (ymin[None, :] >= orow) & (ymax[None, :] < orow + (pr - 1))
+        )
+        fit &= jnp.any(inside, axis=0)
+    return jnp.mean(fit.astype(jnp.float32))
+
+
 class BandRouter:
     """Crossover router: band fill+resample vs the packed two-tier path.
 
@@ -709,15 +738,18 @@ class BandRouter:
 
     # -- band management ---------------------------------------------------
     def _plan(self, lons, lats, mb: int):
-        """Chunk boxes + (mb>1) segment plan, cached on the query-array
-        identities so route() and the prepare() that usually follows share
-        ONE device reduction + host plan.  The id()-based key can only go
-        stale between two DIFFERENT batches whose arrays alias ids; a stale
-        hit costs band-geometry quality (escalation keeps answers correct),
-        never wrong values.  prepare() consumes (clears) the cache."""
-        key = (id(lons), id(lats), int(np.shape(lons)[0]), int(mb))
-        if self._plan_cache is not None and self._plan_cache[0] == key:
-            return self._plan_cache[1], self._plan_cache[2]
+        """Chunk boxes + (mb>1) segment plan, cached on the query arrays so
+        route() and the prepare() that usually follows share ONE device
+        reduction + host plan.  The cache holds weakrefs to the arrays: a
+        hit requires the SAME live objects (ids alone can be recycled by the
+        allocator after gc, which could hand a different same-length batch a
+        stale plan).  Unweakreffable inputs (e.g. lists) simply skip the
+        cache.  prepare() consumes (clears) it."""
+        key = (int(np.shape(lons)[0]), int(mb))
+        if self._plan_cache is not None:
+            ckey, rlons, rlats, boxes, segs = self._plan_cache
+            if ckey == key and rlons() is lons and rlats() is lats:
+                return boxes, segs
         x, y = self.grid.lonlat_to_xy(
             jnp.asarray(lons, self.grid.dtype),
             jnp.asarray(lats, self.grid.dtype),
@@ -728,7 +760,11 @@ class BandRouter:
                           grid_shape=self.grid.shape, boxes=boxes)
             if mb > 1 else None
         )
-        self._plan_cache = (key, boxes, segs)
+        try:
+            self._plan_cache = (
+                key, weakref.ref(lons), weakref.ref(lats), boxes, segs)
+        except TypeError:
+            self._plan_cache = None
         return boxes, segs
 
     def band_bbox(self, lons, lats, *, boxes=None):
@@ -832,8 +868,15 @@ class BandRouter:
     def refresh(self, grid: RegularGrid | None = None, **fill_kw):
         """Refill the CURRENT band/atlas geometry (serving mode: new
         observations arrived, queries stay band-confined).  Skips the bbox
-        readback/planning and pins the masked flag from the synced build —
-        zero host round trips beyond the fill dispatches themselves."""
+        readback/planning.  The masked flag is pinned from the synced build
+        (zero extra host round trips) EXCEPT when a new ``grid`` is supplied
+        and the pinned flag is False: a replacement grid may have *lost*
+        observations, and serving undefined cells through the masked=False
+        fast path (which skips the vmask channel) would return zero-filled
+        depths as real values.  That case pays one sync to recompute the
+        flag; pass ``assume_masked=False`` to assert the new grid's
+        observations cover the old ones (accumulate-only streaming) and keep
+        the zero-sync path."""
         if self._band is None and self._atlas is None:
             raise RuntimeError("refresh() before prepare()")
         if grid is not None:
@@ -862,7 +905,7 @@ class BandRouter:
             vparams = fill_kw.pop("vparams", None)
             method = fill_kw.pop("method", "kriging")
             model = fill_kw.pop("model", "exponential")
-            fill_kw.pop("assume_masked", None)  # atlas masked flag is pinned
+            am = fill_kw.pop("assume_masked", None)
             if fill_kw:
                 raise TypeError(f"unsupported refresh kwargs: {sorted(fill_kw)}")
             planes, vmasks = _fill_pages(
@@ -871,46 +914,70 @@ class BandRouter:
                 margin=self.margin, fill_backend=self.fill_backend,
                 convention=self.convention, model=model,
             )
+            if am is not None:
+                masked = bool(am)
+            elif grid is not None and not self._atlas.masked:
+                masked = bool(jnp.min(vmasks) < 0.5)  # 1 sync; see docstring
+            else:
+                masked = self._atlas.masked
             self._atlas = dataclasses.replace(
-                self._atlas, planes=planes, vmasks=vmasks, placed=placed)
+                self._atlas, planes=planes, vmasks=vmasks, placed=placed,
+                masked=masked)
             self._resampler.atlas = self._atlas
             return self._atlas
         b = self._band
+        pinned = None if (grid is not None and not b.masked) else b.masked
         self._band = self._fill_one(
-            b.row0, b.shape[0], b.col0, b.shape[1], b.masked, **fill_kw)
+            b.row0, b.shape[0], b.col0, b.shape[1], pinned, **fill_kw)
         self._resampler.band = self._band
         return self._band
 
     # -- routing -----------------------------------------------------------
-    def coherence(self, lons, lats):
+    def _footprint(self):
+        """(origins (K,2) int32 device array, page_rows, page_cols) of the
+        live band/atlas, or None.  A band is a 1-page atlas here."""
+        if self._band is not None:
+            b = self._band
+            return (jnp.asarray([[b.row0, b.col0]], jnp.int32),
+                    int(b.shape[0]), int(b.shape[1]))
+        if self._atlas is not None:
+            _, pr, pc = self._atlas.shape
+            return (jnp.asarray(self._atlas.origins, jnp.int32),
+                    int(pr), int(pc))
+        return None
+
+    def coherence(self, lons, lats, *, within_footprint: bool = False):
         """Fraction of chunks whose bounding box fits the resample window —
-        ONE scalar readback; cheap (two min/max passes over N).  Uses the
-        LIVE resampler's window when one exists (auto_window may have shrunk
-        it below the configured win_rows/win_cols)."""
+        ONE scalar readback (one jitted reduction).  Uses the LIVE
+        resampler's window when one exists (auto_window may have shrunk it
+        below the configured win_rows/win_cols).  within_footprint=True
+        additionally requires each chunk box to lie inside a live band/atlas
+        page (serving mode: a coherent batch OUTSIDE the prepared band would
+        resample then escalate ~100% of its queries — correct but ~2x the
+        packed cost, so the router must see those chunks as non-fitting)."""
         if self._resampler is not None:
             wr, wc = self._resampler.wr, self._resampler.wc
         else:
             wr, wc = self.win_rows, self.win_cols
         x, y = self.grid.lonlat_to_xy(jnp.asarray(lons, self.grid.dtype),
                                       jnp.asarray(lats, self.grid.dtype))
-        n = x.shape[0]
-        pad = (-n) % self.chunk
-        if pad:
-            x = jnp.concatenate([x, jnp.broadcast_to(x[-1], (pad,))])
-            y = jnp.concatenate([y, jnp.broadcast_to(y[-1], (pad,))])
-        xc = x.reshape(-1, self.chunk)
-        yc = y.reshape(-1, self.chunk)
-        fit = (
-            (jnp.max(xc, axis=1) - jnp.min(xc, axis=1) < wc - 2)
-            & (jnp.max(yc, axis=1) - jnp.min(yc, axis=1) < wr - 2)
-        )
-        return float(jnp.mean(fit.astype(jnp.float32)))
+        fp = self._footprint() if within_footprint else None
+        if fp is not None:
+            frac = _chunk_fit_frac(x, y, fp[0], chunk=self.chunk, wr=wr,
+                                   wc=wc, pr=fp[1], pc=fp[2])
+        else:
+            frac = _chunk_fit_frac(x, y, None, chunk=self.chunk, wr=wr,
+                                   wc=wc, pr=0, pc=0)
+        return float(frac)
 
     def route(self, lons, lats, *, band_ready: bool = False) -> str:
         """'band' or 'packed' from the measured cost model.  band_ready=True
-        amortizes the fill (serving mode: many batches per band)."""
+        amortizes the fill (serving mode: many batches per band) and gates
+        coherence on the live band/atlas footprint."""
         n = int(np.shape(lons)[0])
-        frac = self.coherence(lons, lats)
+        live = self._band is not None or self._atlas is not None
+        frac = self.coherence(lons, lats,
+                              within_footprint=band_ready and live)
         self.last_coherence = frac
         c = self.cost_ns
         packed = c["packed_per_query"] * n

@@ -132,7 +132,7 @@ def _run(planes, pg, by, bx, lx, ly, *, chunk: int, wrp: int, wcp: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cpg * chunk, 1), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((cpg * chunk, 1), lambda g, *_: (g, 0),
                                memory_space=pltpu.VMEM),

@@ -370,6 +370,60 @@ def test_streaming_mission_loop():
     assert router.two_tier.grid is router.grid  # no stale escalation engine
 
 
+def test_refresh_lossy_grid_recomputes_masked():
+    # refresh(grid=...) with a REPLACEMENT grid that lost observations must
+    # not pin masked=False from the original build: the masked=False resample
+    # fast path skips the vmask channel and would serve zero-filled undefined
+    # cells as real depths (ADVICE r4, medium)
+    H, W = 64, 256
+    elev = shelf_seamount(H, W)
+    grid = RegularGrid.dense(elev, EXT)
+    router = BandRouter(grid, chunk=64, win_rows=32, win_cols=128,
+                        fill_backend="xla")
+    lon, lat = _trajectory(grid, 1024, row_frac=0.5, row_width_frac=0.05)
+    router.prepare(lon, lat)
+    assert router._band.masked is False  # dense grid: fully defined fill
+    # replacement grid: right 100 columns entirely unobserved — wider than
+    # the 2*margin+1 kriging window, so central cells stay undefined
+    lossy = np.asarray(elev, np.float64).copy()
+    lossy[:, W - 100:] = np.nan
+    g2 = RegularGrid.from_nan_array(lossy, EXT)
+    router.refresh(grid=g2)
+    assert router._band.masked is True  # recomputed, not pinned
+    # a query deep inside the unobserved region must be unresolved (escalated
+    # by kriging()), never a silent 0-filled depth
+    x = np.full(8, W - 40.0)
+    y = np.linspace(20.0, 40.0, 8)
+    qlon = EXT.min_lon + x * grid.lon_step
+    qlat = EXT.min_lat + y * grid.lat_step
+    _, ok = router._resampler.resample(qlon, qlat)
+    assert not np.asarray(ok).any()
+    # assume_masked=False keeps the zero-sync pin (accumulate-only contract)
+    router2 = BandRouter(grid, chunk=64, win_rows=32, win_cols=128,
+                         fill_backend="xla")
+    router2.prepare(lon, lat)
+    router2.refresh(grid=g2, assume_masked=False)
+    assert router2._band.masked is False
+
+
+def test_route_band_ready_requires_footprint():
+    # serving mode: a coherent batch OUTSIDE the prepared band must route
+    # packed — resample-then-escalate-everything costs ~2x packed (ADVICE r4)
+    elev = shelf_seamount(192, 256)
+    reduced, _, _ = mask_grid(elev, 0.1, seed=4)
+    grid = RegularGrid.from_nan_array(reduced, EXT)
+    router = BandRouter(grid, chunk=64, win_rows=32, win_cols=128,
+                        fill_backend="xla")
+    lon, lat = _trajectory(grid, 4096, row_frac=0.25, row_width_frac=0.03)
+    router.prepare(lon, lat)
+    assert router.route(lon, lat, band_ready=True) == "band"
+    # same shape of trajectory, far outside the band
+    lon2, lat2 = _trajectory(grid, 4096, row_frac=0.75, row_width_frac=0.03)
+    assert router.coherence(lon2, lat2) > 0.9        # coherent per se
+    assert router.coherence(lon2, lat2, within_footprint=True) < 0.1
+    assert router.route(lon2, lat2, band_ready=True) == "packed"
+
+
 def test_router_idw_serving():
     # idw() serves the IDW band fill with IDW escalation; method mismatch
     # with the prepared band raises instead of silently mixing fills
