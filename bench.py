@@ -14,10 +14,19 @@ Timing: steady-state device throughput — K async dispatches chained to one
 scalar readback, amortizing the dev-tunnel's ~27 ms host round-trip (the
 measurement includes all device work: window scan, neighbor selection, 5x5
 solves, fill).  Prints ONE JSON line.
+
+Cold-start hardening (VERDICT r4 #1): the compiled step executable is
+serialized to data_local/ after every successful compile and loaded back by
+later runs (jax.experimental.serialize_executable), so a fresh driver process
+with a cold .jax_cache skips XLA compilation entirely — round 4's recorded
+compile+first-step was 886.7 s, one driver timeout away from a lost round.
+A wall-clock budget (AUVTPU_BENCH_BUDGET_S, default 1500 s) trims the
+measurement loudly rather than risking rc=124 with nothing printed.
 """
 
 import json
 import os
+import pickle
 import sys
 import time
 
@@ -26,6 +35,9 @@ import numpy as np
 REMOVAL = 0.10
 SHAPE = (2053, 2441)
 BASELINE_PTS_PER_S = 500_688 / 0.757  # MX550 GPU kriging, Kerguelen 0.10
+BUDGET_S = float(os.environ.get("AUVTPU_BENCH_BUDGET_S", "1500"))
+_BASE = os.path.dirname(__file__) or "."
+T_START = time.time()
 
 
 def log(*a):
@@ -33,14 +45,13 @@ def log(*a):
 
 
 def load_workload():
-    from auvtpu.config import GEBCO_TILES
     from auvtpu.masking import mask_grid
     from auvtpu.synthetic import kerguelen_standin
 
     # cache keyed on the workload parameters so a SHAPE/REMOVAL/generator
     # change can never silently reuse a stale workload
     cache = os.path.join(
-        os.path.dirname(__file__) or ".", "data_local",
+        _BASE, "data_local",
         f"kerguelen_bench_{SHAPE[0]}x{SHAPE[1]}_r{REMOVAL}_v1.npz",
     )
     if os.path.exists(cache):
@@ -52,6 +63,42 @@ def load_workload():
     os.makedirs(os.path.dirname(cache), exist_ok=True)
     np.savez_compressed(cache, reduced=reduced, rc=rc, truth=truth)
     return reduced, rc, truth
+
+
+def _exec_cache_path(backend: str) -> str:
+    """AOT-executable cache file, keyed on everything that could make a
+    stale executable wrong or unloadable: jax version, device kind,
+    backend choice, workload shape.  Code changes re-prime it on their
+    first (compiling) run."""
+    import jax
+
+    d = jax.devices()[0]
+    tag = (
+        f"{jax.__version__}_{d.platform}_{d.device_kind}_{backend}"
+        f"_{SHAPE[0]}x{SHAPE[1]}_r{REMOVAL}"
+    ).replace(" ", "-").replace("/", "-")
+    return os.path.join(_BASE, "data_local", f"bench_exec_{tag}.pkl")
+
+
+def _load_aot(path: str):
+    """Deserialize a previously compiled step executable (or raise)."""
+    from jax.experimental.serialize_executable import deserialize_and_load
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    return deserialize_and_load(blob["payload"], blob["in_tree"], blob["out_tree"])
+
+
+def _save_aot(path: str, compiled) -> None:
+    from jax.experimental.serialize_executable import serialize
+
+    payload, in_tree, out_tree = serialize(compiled)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump({"payload": payload, "in_tree": in_tree, "out_tree": out_tree}, f)
+    os.replace(tmp, path)
+    log(f"AOT executable serialized -> {os.path.relpath(path, _BASE)} "
+        f"({os.path.getsize(path) / 1e6:.1f} MB)")
 
 
 def main():
@@ -67,7 +114,6 @@ def main():
     # weak #2 — never burn the driver budget waiting); a cold-but-healthy
     # backend gets up to 420 s to warm up.
     require_device(probe_timeout_s=420.0, log=log)
-
 
     reduced, rc, truth = load_workload()
     n_pts = len(truth)
@@ -89,45 +135,76 @@ def main():
     use_pallas = pallas_available()
     backend = "pallas-fused" if use_pallas else "xla"
     log(f"selection backend: {'pallas (fused selection + solve)' if use_pallas else 'xla'}")
+
+    def make_step(fill):
+        def step(grid, truth_d, mask_d):
+            plane = fill(grid)
+            ok = mask_d * (~jnp.isnan(plane)).astype(jnp.float32)
+            d = jnp.where(ok > 0, truth_d - plane, 0.0)
+            rmse = jnp.sqrt(jnp.sum(d * d) / n_pts)
+            return rmse, jnp.sum(jnp.where(ok > 0, plane, 0.0))
+        return step
+
+    def compile_step(fill):
+        """Explicit lower+compile (serializable), then self-prime the AOT
+        cache so the NEXT cold process skips compilation entirely."""
+        compiled = jax.jit(make_step(fill)).lower(grid, truth_d, mask_d).compile()
+        return compiled
+
     if use_pallas:
         from auvtpu.pallas import pallas_fill_kriging as _fill
     else:
         _fill = lambda g: fill_kriging(g, backend="xla")
 
-    @jax.jit
-    def step(grid, truth_d, mask_d):
-        plane = _fill(grid)
-        ok = mask_d * (~jnp.isnan(plane)).astype(jnp.float32)
-        d = jnp.where(ok > 0, truth_d - plane, 0.0)
-        rmse = jnp.sqrt(jnp.sum(d * d) / n_pts)
-        return rmse, jnp.sum(jnp.where(ok > 0, plane, 0.0))
+    # ---- obtain an executable: AOT load >> compile (+prime) ----
+    step = None
+    aot_path = _exec_cache_path(backend)
+    aot_loaded = False
+    if os.path.exists(aot_path):
+        try:
+            t0 = time.time()
+            step = _load_aot(aot_path)
+            log(f"AOT executable loaded in {time.time()-t0:.1f}s "
+                f"({os.path.relpath(aot_path, _BASE)})")
+            aot_loaded = True
+        except Exception as e:
+            log(f"AOT load failed ({type(e).__name__}: {str(e)[:200]}); compiling")
+            step = None
 
-    # warmup / compile; if the Pallas kernel fails to compile on this
-    # hardware (e.g. a Mosaic legality change), fall back to the XLA path
-    # rather than losing the benchmark run
     t0 = time.time()
-    try:
-        rmse, chk = step(grid, truth_d, mask_d)
-        rmse = float(rmse)
-    except Exception as e:
-        if not use_pallas:
-            raise
-        log(f"pallas path failed ({type(e).__name__}: {str(e)[:200]}); "
-            "falling back to the XLA backend")
-        backend = "xla-fallback"
-        _fill = lambda g: fill_kriging(g, backend="xla")
-
-        @jax.jit
-        def step(grid, truth_d, mask_d):
-            plane = _fill(grid)
-            ok = mask_d * (~jnp.isnan(plane)).astype(jnp.float32)
-            d = jnp.where(ok > 0, truth_d - plane, 0.0)
-            rmse = jnp.sqrt(jnp.sum(d * d) / n_pts)
-            return rmse, jnp.sum(jnp.where(ok > 0, plane, 0.0))
-
-        rmse, chk = step(grid, truth_d, mask_d)
-        rmse = float(rmse)
-    log(f"compile+first step {time.time()-t0:.1f}s; RMSE={rmse:.4f} m  checksum={float(chk):.1f}")
+    if step is not None:
+        try:
+            rmse, chk = step(grid, truth_d, mask_d)
+            rmse = float(rmse)
+        except Exception as e:
+            log(f"AOT executable failed to run ({type(e).__name__}: "
+                f"{str(e)[:200]}); recompiling")
+            step, aot_loaded = None, False
+    if step is None:
+        try:
+            step = compile_step(_fill)
+            rmse, chk = step(grid, truth_d, mask_d)
+            rmse = float(rmse)
+        except Exception as e:
+            # if the Pallas kernel fails to compile/run on this hardware
+            # (e.g. a Mosaic legality change), fall back to the XLA path
+            # rather than losing the benchmark run
+            if not use_pallas:
+                raise
+            log(f"pallas path failed ({type(e).__name__}: {str(e)[:200]}); "
+                "falling back to the XLA backend")
+            backend = "xla-fallback"
+            _fill = lambda g: fill_kriging(g, backend="xla")
+            aot_path = _exec_cache_path(backend)
+            step = compile_step(_fill)
+            rmse, chk = step(grid, truth_d, mask_d)
+            rmse = float(rmse)
+        try:
+            _save_aot(aot_path, step)
+        except Exception as e:  # priming is best-effort, never fatal
+            log(f"AOT serialize failed ({type(e).__name__}: {str(e)[:200]})")
+    label = "AOT load+first step" if aot_loaded else "compile+first step"
+    log(f"{label} {time.time()-t0:.1f}s; RMSE={rmse:.4f} m  checksum={float(chk):.1f}")
 
     # steady state: W windows of K dispatches (one readback each), median
     # window — a single window is exposed to transient tunnel stalls (this
@@ -138,8 +215,13 @@ def main():
     # MXU, results/chip_speed_probe_r4.txt).  t(K) = fixed/K + compute with
     # compute = 2.76 ms; K=128 measures within 7% of the asymptote.
     K, W = 128, 5
+    t_first_window = time.time() - T_START
     window_s = []
-    for _ in range(W):
+    for wi in range(W):
+        if window_s and time.time() - T_START > BUDGET_S:
+            log(f"BUDGET EXCEEDED ({BUDGET_S:.0f}s): stopping after "
+                f"{len(window_s)}/{W} windows — PARTIAL RESULT")
+            break
         t0 = time.perf_counter()
         for _ in range(K):
             r, _ = step(grid, truth_d, mask_d)
@@ -149,6 +231,7 @@ def main():
     pts_per_s = n_pts / dt
     log("windows ms/step: " + " ".join(f"{w*1e3:.2f}" for w in window_s))
     log(f"steady-state (median window): {dt*1e3:.2f} ms/step -> {pts_per_s/1e6:.2f} M masked pts/s")
+    log(f"time to first measured window: {t_first_window:.1f}s from process start")
     # transparency: one small-K window decomposes t(K) = fixed/K + compute so
     # tunnel-latency drift is visible separately from on-chip speed
     t0 = time.perf_counter()
@@ -168,6 +251,12 @@ def main():
                 "unit": "points/sec",
                 "vs_baseline": round(pts_per_s / BASELINE_PTS_PER_S, 2),
                 "backend": backend,
+                # on-chip ms/step: the stable companion metric — immune to
+                # tunnel-latency drift, which the throughput number folds in
+                # (VERDICT r4 weak #3)
+                "compute_ms": round(compute_ms, 2),
+                "aot": aot_loaded,
+                "t_first_window_s": round(t_first_window, 1),
             }
         )
     )
@@ -176,12 +265,12 @@ def main():
     try:
         # append: the history makes chip/tunnel speed drift visible (this
         # session measured the same code at 4.18 -> 6.66 ms/step over 6 h)
-        with open(os.path.join(os.path.dirname(__file__) or ".", "results",
-                               "bench_backend.txt"), "a") as f:
+        with open(os.path.join(_BASE, "results", "bench_backend.txt"), "a") as f:
             f.write(f"{time.strftime('%Y-%m-%d %H:%M:%S')} backend={backend} "
                     f"pts_per_s={pts_per_s:.1f} rmse={rmse:.4f} "
                     f"ms_per_step={dt*1e3:.2f} K={K} "
-                    f"fixed_ms={fixed_ms:.1f} compute_ms={compute_ms:.2f}\n")
+                    f"fixed_ms={fixed_ms:.1f} compute_ms={compute_ms:.2f} "
+                    f"aot={int(aot_loaded)} t_first_window_s={t_first_window:.1f}\n")
     except OSError:
         pass
 
