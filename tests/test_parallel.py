@@ -206,3 +206,151 @@ def test_sharded_atlas_bit_equal():
     zr, okr = rs_ref.resample(lon, lat)
     np.testing.assert_array_equal(np.asarray(ok), np.asarray(okr))
     np.testing.assert_array_equal(np.asarray(z), np.asarray(zr))
+
+
+# ---------------------------------------------------------------------------
+# mesh-size stress sweep (VERDICT r4 #7): results must be invariant to HOW
+# MANY ways the grid is sharded, including blocks narrower than the radius-10
+# window in BOTH axes, uneven remainders, and n=16 (subprocess: the test
+# session itself is pinned to 8 virtual devices by conftest.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_sharded_fill_mesh_size_sweep(n):
+    # H=93: remainder rows against every mesh size (93 % 2/4/8 != 0)
+    elev = shelf_seamount(93, 47)
+    elev, _, _ = mask_grid(elev, 0.12, seed=9)
+    g = RegularGrid.from_nan_array(elev, Extent(0.0, 46.0, 0.0, 92.0))
+    single = np.asarray(fill_kriging(g, max_radius=10))
+    got = np.asarray(sharded_fill(make_mesh(n), g, "kriging", max_radius=10))
+    assert (np.isnan(got) == np.isnan(single)).all()
+    m = ~np.isnan(single)
+    np.testing.assert_allclose(got[m], single[m], rtol=2e-5, atol=2e-3)
+
+
+@pytest.mark.parametrize("shape", [(2, 2), (4, 2), (2, 4)])
+def test_sharded_fill2d_sub_radius_both_axes(shape):
+    """15x13 grid: every mesh shape yields blocks narrower than the radius-10
+    window in BOTH axes (e.g. (4,2) -> 4x7 blocks), with remainder padding in
+    both axes — the all-multi-hop-halo regime a real pod would hit on small
+    per-device tiles."""
+    elev = shelf_seamount(15, 13)
+    elev, _, _ = mask_grid(elev, 0.15, seed=10)
+    g = RegularGrid.from_nan_array(elev, Extent(0.0, 12.0, 0.0, 14.0))
+    single = np.asarray(fill_kriging(g, max_radius=10))
+    got = np.asarray(sharded_fill2d(make_mesh2d(shape), g, "kriging", max_radius=10))
+    assert (np.isnan(got) == np.isnan(single)).all()
+    m = ~np.isnan(single)
+    np.testing.assert_allclose(got[m], single[m], rtol=2e-5, atol=2e-3)
+
+
+_MESH16_CHILD = r"""
+import jax
+
+# this image pre-imports jax via a .pth hook, so the JAX_PLATFORMS env var
+# is too late — select the platform through the config (backends are lazy)
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+assert jax.device_count() == 16, jax.device_count()
+
+from auvtpu.config import Extent
+from auvtpu.grid import RegularGrid
+from auvtpu.masking import mask_grid
+from auvtpu.ops import fill_kriging
+from auvtpu.ops.band import AtlasResampler, build_atlas, plan_segments
+from auvtpu.parallel import (
+    ShardedStreamingInterpolator2D, build_atlas_sharded, make_mesh,
+    make_mesh2d, sharded_fill, sharded_fill2d,
+)
+from auvtpu.streaming import StreamingInterpolator
+from auvtpu.synthetic import shelf_seamount
+
+# 1-D fill, 16 row bands (83 % 16 != 0 -> remainder pad; bands of ~5 rows
+# are HALF the radius-10 window -> multi-hop halos on every band)
+elev = shelf_seamount(83, 41)
+elev, _, _ = mask_grid(elev, 0.12, seed=12)
+g = RegularGrid.from_nan_array(elev, Extent(0.0, 40.0, 0.0, 82.0))
+single = np.asarray(fill_kriging(g, max_radius=10))
+got = np.asarray(sharded_fill(make_mesh(16), g, "kriging", max_radius=10))
+assert (np.isnan(got) == np.isnan(single)).all()
+np.testing.assert_allclose(got[~np.isnan(single)], single[~np.isnan(single)],
+                           rtol=2e-5, atol=2e-3)
+print("1d n=16 ok")
+
+# 2-D fill, (4,4) blocks sub-radius in both axes + remainder in both axes
+elev = shelf_seamount(27, 23)
+elev, _, _ = mask_grid(elev, 0.15, seed=13)
+g2 = RegularGrid.from_nan_array(elev, Extent(0.0, 22.0, 0.0, 26.0))
+single = np.asarray(fill_kriging(g2, max_radius=10))
+got = np.asarray(sharded_fill2d(make_mesh2d((4, 4)), g2, "kriging", max_radius=10))
+assert (np.isnan(got) == np.isnan(single)).all()
+np.testing.assert_allclose(got[~np.isnan(single)], single[~np.isnan(single)],
+                           rtol=2e-5, atol=2e-3)
+print("2d (4,4) ok")
+
+# 2-D streaming mosaic on (4,4): bit-equal planes + window fills
+H, W = 37, 53
+ext = Extent(0.0, float(W - 1), 0.0, float(H - 1))
+kw = dict(swath_cap=64, stage_slots=2, window=(16, 16), method="kriging",
+          k=4, max_radius=5)
+single_s = StreamingInterpolator((H, W), ext, **kw)
+sharded_s = ShardedStreamingInterpolator2D((H, W), ext, make_mesh2d((4, 4)), **kw)
+rng = np.random.RandomState(11)
+for _ in range(3):
+    rows = rng.randint(0, H, 120)
+    cols = rng.randint(0, W, 120)
+    vals = rng.normal(-3000.0, 80.0, 120).astype(np.float32)
+    for si in (single_s, sharded_s):
+        si.ingest(rows, cols, vals)
+assert np.array_equal(single_s.snapshot(), sharded_s.snapshot(), equal_nan=True)
+for center in [(H // 2, W // 2), (0, 0), (H - 1, W - 1)]:
+    ta, oa = single_s.window_fill(*center)
+    tb, ob = sharded_s.window_fill(*center)
+    assert oa == ob
+    assert np.array_equal(np.asarray(ta), np.asarray(tb), equal_nan=True)
+print("streaming 2d (4,4) bit-equal ok")
+
+# sharded atlas over a 16-device pages mesh (6 pages -> padded to 16)
+H, W = 96, 192
+ext = Extent(0.0, float(W - 1), 0.0, float(H - 1))
+reduced, _, _ = mask_grid(shelf_seamount(H, W), 0.12, seed=4)
+ga = RegularGrid.from_nan_array(reduced, ext)
+n = 2048
+t = np.linspace(0, 1, n)
+rng = np.random.default_rng(0)
+x = np.clip(1.0 + t * (W - 3) + rng.normal(0, 0.05, n), 0.5, W - 1.5)
+y = np.clip(1.0 + t * (H - 3) + 2 * np.sin(t * 16 * np.pi), 0.5, H - 1.5)
+segs = plan_segments(x, y, chunk=256, max_bands=6, grid_shape=ga.shape)
+ref = build_atlas(ga, segs, fill_backend="xla")
+got = build_atlas_sharded(ga, segs, make_mesh(16, axis="pages"), fill_backend="xla")
+assert got.masked == ref.masked and got.placed == ref.placed
+np.testing.assert_array_equal(np.asarray(got.planes), np.asarray(ref.planes))
+np.testing.assert_array_equal(np.asarray(got.vmasks), np.asarray(ref.vmasks))
+print("atlas n=16 bit-equal ok")
+print("MESH16 PASS")
+"""
+
+
+@pytest.mark.slow  # fresh interpreter: needs 16 virtual devices, conftest pins 8
+def test_mesh16_stress(tmp_path):
+    """n=16 sweep point (VERDICT r4 #7): 1-D fill with 16 sub-radius row
+    bands, (4,4) 2-D fill, bit-equal (4,4) 2-D streaming, and the sharded
+    atlas on a 16-way pages mesh — all vs single-device, in a subprocess
+    whose XLA host platform exposes 16 virtual devices."""
+    import os
+    import subprocess
+    import sys
+
+    script = tmp_path / "mesh16_child.py"
+    script.write_text(_MESH16_CHILD)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, str(script)], env=env,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
+    assert "MESH16 PASS" in out.stdout
