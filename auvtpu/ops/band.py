@@ -60,8 +60,8 @@ def _ceil_to(v: int, m: int) -> int:
     return -(-int(v) // m) * m
 
 
-@partial(jax.jit, static_argnames=("chunk", "wr", "wc", "masked"))
-def _band_resample(plane, vmask, x, y, *, chunk: int, wr: int, wc: int, masked: bool):
+@partial(jax.jit, static_argnames=("chunk", "wr", "wc", "masked", "lerp_mode"))
+def _band_resample(plane, vmask, x, y, *, chunk: int, wr: int, wc: int, masked: bool, lerp_mode: str = "onehot"):
     """Chunked windowed bilinear over a dense band plane.
 
     plane: (R, C) band values, NaN-free (NaN cells carry 0 with vmask=0).
@@ -111,40 +111,94 @@ def _band_resample(plane, vmask, x, y, *, chunk: int, wr: int, wc: int, masked: 
             lambda byi, bxi: jax.lax.dynamic_slice(plane, (byi, bxi), (wr, wc))
         )(by, bx)
 
-    return _lerp_window(win, winm if masked else None, ly0c, lx0c, wy, wx, ok)
+    return _lerp_window(win, winm if masked else None, ly0c, lx0c, wy, wx, ok,
+                        mode=lerp_mode)
 
 
-def _lerp_window(win, winm, ly0c, lx0c, wy, wx, ok):
+def _lerp_onehot(iota, i0, frac, dt):
+    """Linear-interpolation weight vector: (1-frac) at lane i0, frac at lane
+    i0+1, 0 elsewhere.  mode='onehot' build: two iota compares."""
+    return (
+        (iota == i0[:, :, None]).astype(dt) * (1 - frac)[:, :, None]
+        + (iota == (i0 + 1)[:, :, None]).astype(dt) * frac[:, :, None]
+    )
+
+
+def _lerp_hat(iota, i0, frac, dt):
+    """Same weight vector as _lerp_onehot, built as the hat function
+    relu(1 - |(iota - i0) - frac|): 5 VPU ops/lane vs the compare build's 7.
+    The integer subtraction happens BEFORE the float cast so every lane value
+    is exact ((i0 + frac) itself can round at 24 mantissa bits): lane i0
+    yields 1-frac and lane i0+1 yields 1-(1-frac) = frac, both exact by
+    Sterbenz — bit-identical weights to _lerp_onehot."""
+    d = (iota - i0[:, :, None]).astype(dt) - frac[:, :, None]
+    return jnp.maximum(1 - jnp.abs(d), 0)
+
+
+def _col_pick(rows, lx0c, wx, mode):
+    """Column pick + x-lerp of a (nch, chunk, wc) row-lerped tensor.
+
+    mode='onehot'/'hat': one wc-lane weighted reduce (builds differ, weights
+    bit-identical).  mode='hat2': two-level hi/lo decomposition — an
+    (nb-1)-lane block one-hot picks the 32-wide slab (stride 16) containing
+    both columns, then one 32-lane hat reduce: ~2x fewer per-query VPU lanes
+    than the flat wc-lane stage (the measured bound, NEXTSTEPS 4d).  hat2
+    regroups the summation so results can differ from onehot/hat in the last
+    ulp."""
+    dt = rows.dtype
+    nch, chunk, wc = rows.shape
+    if mode in ("onehot", "hat"):
+        ciota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wc), 2)
+        build = _lerp_onehot if mode == "onehot" else _lerp_hat
+        mcol = build(ciota, lx0c, wx, dt)
+        return (rows * mcol).sum(axis=2)
+    if mode != "hat2":
+        raise ValueError(mode)
+    if wc % 16 or wc < 32:
+        return _col_pick(rows, lx0c, wx, "hat")
+    nb = wc // 16
+    s = jnp.clip(lx0c >> 4, 0, nb - 2)  # 32-wide slab [16s, 16s+32) holds lx0c, lx0c+1
+    blocks = rows.reshape(nch, chunk, nb, 16)
+    biota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
+    hb0 = (biota == s[:, :, None]).astype(dt)
+    hb1 = (biota == (s + 1)[:, :, None]).astype(dt)
+    slab_a = (blocks * hb0[..., None]).sum(axis=2)  # (nch, chunk, 16)
+    slab_b = (blocks * hb1[..., None]).sum(axis=2)
+    lo = lx0c - (s << 4)  # in [0, 30]
+    liota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2)
+    hat = _lerp_hat(liota, lo, wx, dt)
+    return (slab_a * hat[..., :16]).sum(axis=2) + (slab_b * hat[..., 16:]).sum(axis=2)
+
+
+def _lerp_window(win, winm, ly0c, lx0c, wy, wx, ok, mode: str = "onehot"):
     """Shared bilinear-from-window block: row-lerp folded into the extraction
     matmul (nch, chunk, wr) @ (nch, wr, wc), column pick + x-lerp as one fused
-    weighted reduce.  winm=None means the band/atlas is fully defined."""
+    weighted reduce (see _col_pick for the mode variants).  winm=None means
+    the band/atlas is fully defined."""
     dt = win.dtype
     wr = win.shape[1]
-    wc = win.shape[2]
     riota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wr), 2)
-    mrow = (
-        (riota == ly0c[:, :, None]).astype(dt) * (1 - wy)[:, :, None]
-        + (riota == (ly0c + 1)[:, :, None]).astype(dt) * wy[:, :, None]
-    )
+    build = _lerp_hat if mode in ("hat", "hat2") else _lerp_onehot
+    mrow = build(riota, ly0c, wy, dt)
     # precision=HIGHEST is load-bearing: the TPU default lowers f32 matmuls
     # to single-pass bf16 (8-bit mantissa -> ~16 m quantization at 4 km
     # elevations; measured maxabs 24 m on the bench tile before this fix —
     # the same silent-bf16 class as the round-2 kNN scrambling incident)
     rows_v = jnp.einsum("ncr,nrw->ncw", mrow, win,
                         precision=jax.lax.Precision.HIGHEST)
-    ciota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wc), 2)
-    mcol = (
-        (ciota == lx0c[:, :, None]).astype(dt) * (1 - wx)[:, :, None]
-        + (ciota == (lx0c + 1)[:, :, None]).astype(dt) * wx[:, :, None]
-    )
-    z = (rows_v * mcol).sum(axis=2)
+    z = _col_pick(rows_v, lx0c, wx, mode)
     if winm is not None:
         rows_m = jnp.einsum("ncr,nrw->ncw", mrow, winm,
                             precision=jax.lax.Precision.HIGHEST)
-        wsum = (rows_m * mcol).sum(axis=2)
+        wsum = _col_pick(rows_m, lx0c, wx, mode)
         ok = ok & (wsum > 1.0 - 1e-3)
     z = jnp.where(ok, z, jnp.nan)
     return z.reshape(-1), ok.reshape(-1)
+
+
+# default one-hot build for the resample column stage; flipped only on a
+# chip-measured win (scripts/resample_hilo_probe.py)
+LERP_MODE_DEFAULT = "onehot"
 
 
 def _resolve_resample_backend(backend: str, dtype) -> str:
@@ -266,7 +320,7 @@ class BandResampler:
 
     def __init__(self, grid: RegularGrid, band: Band, *, chunk: int = 512,
                  win_rows: int = 48, win_cols: int = 128,
-                 backend: str = "auto"):
+                 backend: str = "auto", lerp_mode: str = LERP_MODE_DEFAULT):
         R, C = band.shape
         self.grid = grid
         self.band = band
@@ -275,6 +329,7 @@ class BandResampler:
         self.wc = min(int(win_cols), C)
         self.dtype = band.plane.dtype
         self.backend = _resolve_resample_backend(backend, self.dtype)
+        self.lerp_mode = lerp_mode
 
     def resample(self, lons, lats):
         """Returns (values, resolved_mask); unresolved entries are NaN."""
@@ -302,14 +357,15 @@ class BandResampler:
             z, ok = _band_resample(
                 self.band.plane, self.band.vmask, x, y,
                 chunk=self.chunk, wr=self.wr, wc=self.wc,
-                masked=self.band.masked,
+                masked=self.band.masked, lerp_mode=self.lerp_mode,
             )
         return z[:n], ok[:n]
 
 
-@partial(jax.jit, static_argnames=("chunk", "wr", "wc", "masked", "pick"))
+@partial(jax.jit, static_argnames=("chunk", "wr", "wc", "masked", "pick", "lerp_mode"))
 def _atlas_resample(planes, vmasks, origins, x, y, *, chunk: int, wr: int,
-                    wc: int, masked: bool, pick: bool = True):
+                    wc: int, masked: bool, pick: bool = True,
+                    lerp_mode: str = "onehot"):
     """Chunked windowed bilinear over a K-page band atlas.
 
     planes:  (K, R, C) filled page values (NaN-free; undefined cells carry 0
@@ -384,7 +440,7 @@ def _atlas_resample(planes, vmasks, origins, x, y, *, chunk: int, wr: int,
                 planes, (pi, byi, bxi), (1, wr, wc))[0]
         )(page, by, bx)
         winm = None
-    return _lerp_window(win, winm, ly0c, lx0c, wy, wx, ok)
+    return _lerp_window(win, winm, ly0c, lx0c, wy, wx, ok, mode=lerp_mode)
 
 
 @partial(jax.jit, static_argnames=("chunk",))
@@ -597,7 +653,7 @@ class AtlasResampler:
 
     def __init__(self, grid: RegularGrid, atlas: BandAtlas, *, chunk: int = 512,
                  win_rows: int = 48, win_cols: int = 128,
-                 backend: str = "auto"):
+                 backend: str = "auto", lerp_mode: str = LERP_MODE_DEFAULT):
         _, R, C = atlas.shape
         self.grid = grid
         self.atlas = atlas
@@ -606,6 +662,7 @@ class AtlasResampler:
         self.wc = min(int(win_cols), C)
         self.dtype = atlas.planes.dtype
         self.backend = _resolve_resample_backend(backend, self.dtype)
+        self.lerp_mode = lerp_mode
 
     def resample(self, lons, lats):
         """Returns (values, resolved_mask); unresolved entries are NaN."""
@@ -631,6 +688,7 @@ class AtlasResampler:
                 x, y, chunk=self.chunk, wr=self.wr, wc=self.wc,
                 masked=self.atlas.masked,
                 pick=self.atlas.planes.shape[0] > 1,
+                lerp_mode=self.lerp_mode,
             )
         return z[:n], ok[:n]
 

@@ -185,6 +185,28 @@ def krige_solve(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), 
     )
 
 
+def gj56(M, pivot_tol):
+    """Unpivoted Gauss-Jordan on a 5x6 system held as 30 (N,) vectors
+    (GridH.cpp:378-419 elimination order).  Shared by the coordinate-form
+    solve below and the lattice-gamma solve (ops/exact_fast.py).  Returns
+    (M, singular) with column 5 holding the solution on non-singular rows."""
+    n = M[0][0].shape[0]
+    singular = jnp.zeros((n,), dtype=bool)
+    for i in range(5):
+        pivot = M[i][i]
+        singular = singular | (jnp.abs(pivot) < pivot_tol)
+        safe = jnp.where(singular, 1.0, pivot)
+        for q in range(i, 6):
+            M[i][q] = M[i][q] / safe
+        for r in range(5):
+            if r == i:
+                continue
+            f = M[r][i]
+            for q in range(i, 6):
+                M[r][q] = M[r][q] - f * M[i][q]
+    return M, singular
+
+
 def krige_solve_cols(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfig(), vparams=None, model: str = "exponential", with_variance: bool = False):
     """Column-form krige_solve core: ``vals``/``cx``/``cy`` are length-4
     sequences of (N,) arrays.  Lets transposed producers (the Pallas
@@ -226,19 +248,7 @@ def krige_solve_cols(qlon, qlat, vals, cx, cy, cfg: KrigingConfig = KrigingConfi
     # symmetric aliasing above shares arrays; make row 4 entries independent
     # is unnecessary (they are fresh arrays already)
 
-    singular = jnp.zeros((n,), dtype=bool)
-    for i in range(5):
-        pivot = M[i][i]
-        singular = singular | (jnp.abs(pivot) < cfg.pivot_tol)
-        safe = jnp.where(singular, 1.0, pivot)
-        for q in range(i, 6):
-            M[i][q] = M[i][q] / safe
-        for r in range(5):
-            if r == i:
-                continue
-            f = M[r][i]
-            for q in range(i, 6):
-                M[r][q] = M[r][q] - f * M[i][q]
+    M, singular = gj56(M, cfg.pivot_tol)
 
     pred = (
         M[0][5] * vals[0]

@@ -56,10 +56,15 @@ def main():
             n = len(truth)
             rows = rc[:, 0].copy()
             cols = rc[:, 1].copy()
+            from auvtpu.ops.exact_fast import exact_kriging_at_cells_fast
+
             for name, fn in (
                 ("Bilinear", exact_bilinear_at_cells),
                 ("Cubic", exact_cubic_at_cells),
                 ("Kriging", exact_kriging_at_cells),
+                ("Krig2tier", exact_kriging_at_cells_fast),
+                ("Krig2tC", lambda g, r, c: exact_kriging_at_cells_fast(
+                    g, r, c, solve="coords")),
             ):
                 # warm (compile chunks), then one timed pass: exact mode is a
                 # chunked host-loop pipeline, so wall time IS its cost metric
@@ -70,6 +75,15 @@ def main():
                 dt = time.perf_counter() - t0
                 print(f"{removal:8.2f} {n:8d} {name:>9} {dt:8.2f} "
                       f"{dt*1e9/n:8.0f} {n/dt/1e6:8.2f}", flush=True)
+                if name == "Kriging":
+                    strict = out
+                elif name.startswith("Krig2t"):
+                    m = np.isfinite(strict) & np.isfinite(out)
+                    dv = float(np.abs(out[m] - strict[m]).max())
+                    same_nan = (np.isnan(out) == np.isnan(strict)).all()
+                    print(f"{'':26s} parity vs strict: maxabs={dv:.2e} "
+                          f"nan-match={same_nan}", flush=True)
+                    assert dv < 1e-6 and same_nan, (name, removal, dv)
     finally:
         jax.config.update("jax_enable_x64", False)
 

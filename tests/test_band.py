@@ -83,6 +83,51 @@ def test_band_resample_parity_dense():
     assert np.abs(z[ok] - want[ok]).max() < 1e-3
 
 
+def test_band_resample_lerp_modes():
+    # 'hat' builds bit-identical weights to 'onehot' (Sterbenz argument in
+    # _lerp_hat); 'hat2' regroups the column summation (<= last-ulp drift).
+    # Both must agree on the resolved mask, including a masked band.
+    elev = shelf_seamount(96, 160)
+    grid = RegularGrid.dense(elev, EXT)
+    band = fill_band(grid, 16, 48, 0, 160, method="idw")
+    lon, lat = _trajectory(grid, 1000, row_frac=0.4, row_width_frac=0.05)
+    plane = np.asarray(band.plane).copy()
+    vmask = np.ones_like(plane)
+    vmask[20:22, 60:64] = 0.0
+    plane[20:22, 60:64] = 0.0
+    masked = Band(plane=jnp.asarray(plane), vmask=jnp.asarray(vmask),
+                  masked=True, row0=band.row0, col0=band.col0)
+    for b in (band, masked):
+        outs = {}
+        for mode in ("onehot", "hat", "hat2"):
+            rs = BandResampler(grid, b, chunk=64, win_rows=32, win_cols=128,
+                               lerp_mode=mode)
+            z, ok = rs.resample(lon, lat)
+            outs[mode] = (np.asarray(z), np.asarray(ok))
+        z0, ok0 = outs["onehot"]
+        assert ok0.mean() > 0.5
+        for mode in ("hat", "hat2"):
+            zm, okm = outs[mode]
+            np.testing.assert_array_equal(okm, ok0)
+            d = np.abs(zm[ok0] - z0[ok0]).max()
+            assert d == 0.0 if mode == "hat" else d < 1e-4, (mode, d)
+
+
+def test_lerp_hat2_narrow_window_falls_back():
+    # wc < 32 (or not 16-aligned) must transparently use the flat hat path
+    elev = shelf_seamount(64, 96)
+    grid = RegularGrid.dense(elev, EXT)
+    band = fill_band(grid, 8, 32, 0, 96, method="idw")
+    lon, lat = _trajectory(grid, 256, row_frac=0.35, row_width_frac=0.03)
+    ref = BandResampler(grid, band, chunk=32, win_rows=16, win_cols=24)
+    alt = BandResampler(grid, band, chunk=32, win_rows=16, win_cols=24,
+                        lerp_mode="hat2")
+    z0, ok0 = (np.asarray(a) for a in ref.resample(lon, lat))
+    z1, ok1 = (np.asarray(a) for a in alt.resample(lon, lat))
+    np.testing.assert_array_equal(ok1, ok0)
+    np.testing.assert_array_equal(z1[ok0], z0[ok0])
+
+
 def test_band_resample_masked_plane():
     # undefined band cells must yield unresolved (never silently 0-filled):
     # build a Band with a hole and query straight into it
