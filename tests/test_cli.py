@@ -104,6 +104,39 @@ def test_bench_grid_b_cli_with_csv_inputs(tmp_path):
     assert len(pts) == len(vals)
 
 
+def test_bench_grid_b_cli_exact_tiers(tmp_path):
+    # --selection exact through the CLI: the two-tier engine (default) and
+    # the strict oracle must agree on the error metrics to f64-solve noise
+    import jax
+
+    from auvtpu.cli.bench_grid_b import main
+    from auvtpu.io import write_reference_missing
+    from auvtpu.masking import mask_grid
+
+    elev = shelf_seamount(40, 50)
+    reduced, rc, vals = mask_grid(elev, 0.2, seed=7)
+    rcsv = str(tmp_path / "reduced.csv")
+    mcsv = str(tmp_path / "missing.csv")
+    write_grid_csv(rcsv, reduced)
+    write_reference_missing(mcsv, rc, vals)
+    base = [
+        "--reduced-csv", rcsv, "--reference-csv", mcsv,
+        "--min-lon", "0", "--max-lon", "49", "--min-lat", "0", "--max-lat", "39",
+        "--selection", "exact", "--methods", "Kriging",
+    ]
+    old = jax.config.jax_enable_x64
+    try:
+        main(base + ["--exact-tier", "two", "--results", str(tmp_path / "two.csv")])
+        main(base + ["--exact-tier", "strict", "--results", str(tmp_path / "strict.csv")])
+    finally:
+        jax.config.update("jax_enable_x64", old)
+    two = pd.read_csv(str(tmp_path / "two.csv"))
+    strict = pd.read_csv(str(tmp_path / "strict.csv"))
+    assert len(two) == 1 and len(strict) == 1
+    for colm in ("MAE", "RMSE", "Max Error"):
+        assert two[colm][0] == pytest.approx(strict[colm][0], abs=1e-6)
+
+
 def test_bench_grid_b_cli_variogram_model(tmp_path):
     from auvtpu.cli.bench_grid_b import main
     from auvtpu.io import write_reference_missing

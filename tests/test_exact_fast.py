@@ -35,16 +35,52 @@ def _masked(h, w, removal, seed, extent=AWKWARD):
     return grid, rc, vals, reduced
 
 
+def _row_keys(q, rc, gi, gj):
+    """Reconstruct each selected slot's exact (d2, T) key from its offsets
+    (the derivation in ops/exact.py's docstring)."""
+    v = q.variant
+    ax = -(v >> 1)
+    ay = -(v & 1)
+    dx = gi - q.ci[:, None] + ax[:, None]
+    dy = gj - q.cj[:, None] + ay[:, None]
+    d2 = ((dx + 0.5) ** 2 + (dy + 0.5) ** 2).astype(np.float32)
+    T = (
+        q.ex_key[:, None] * (2 * dx + 1) + q.ey_key[:, None] * (2 * dy + 1)
+    ).astype(np.float32)
+    return d2, T
+
+
+def _canon(q, rc, gi, gj, v):
+    """Sort each row's 4 slots canonically by (d2 asc, T desc, gi, gj): the
+    exact selection ORDER except inside exact-key ties, where the reference's
+    swap-mutated order and the dense pass's collection order may differ
+    (solve-equivalent; see ops/exact_fast.py docstring)."""
+    d2, T = _row_keys(q, rc, gi, gj)
+    order = np.lexsort((gj, gi, -T, d2), axis=1)
+    take = np.take_along_axis
+    return take(gi, order, 1), take(gj, order, 1), take(v, order, 1), d2, T
+
+
 def _assert_selection_equal(grid, rc):
     f1, v1, gi1, gj1, q1 = exact_select_at_cells(grid, rc[:, 0], rc[:, 1])
     f2, v2, gi2, gj2, q2, esc = exact_select_at_cells_fast(grid, rc[:, 0], rc[:, 1])
     np.testing.assert_array_equal(f2, f1)
     live = ~q1.oob
     ok = (f1 >= 4) & live
-    np.testing.assert_array_equal(gi2[ok], gi1[ok])
-    np.testing.assert_array_equal(gj2[ok], gj1[ok])
-    np.testing.assert_array_equal(v2[ok], v1[ok])
-    # found<4 slots: exact.py stores them in pass order too; sets must match
+    # canonical order: the selected SETs must be identical everywhere
+    cgi1, cgj1, cv1, d2_1, T_1 = _canon(q1, rc, gi1, gj1, v1)
+    cgi2, cgj2, cv2, _, _ = _canon(q1, rc, gi2, gj2, v2)
+    np.testing.assert_array_equal(cgi2[ok], cgi1[ok])
+    np.testing.assert_array_equal(cgj2[ok], cgj1[ok])
+    np.testing.assert_array_equal(cv2[ok], cv1[ok])
+    # raw slot order must be bitwise-identical wherever the 4 keys are
+    # pairwise distinct (no in-tie reordering freedom)
+    key = (d2_1.astype(np.float64) * (1 << 30)) - T_1.astype(np.float64)
+    distinct = ok & (np.diff(np.sort(key, axis=1), axis=1) != 0).all(axis=1)
+    np.testing.assert_array_equal(gi2[distinct], gi1[distinct])
+    np.testing.assert_array_equal(gj2[distinct], gj1[distinct])
+    np.testing.assert_array_equal(v2[distinct], v1[distinct])
+    # found<4 slots: all eligible candidates are selected; sets must match
     few = (f1 > 0) & (f1 < 4) & live
     if few.any():
         np.testing.assert_array_equal(np.sort(v2[few]), np.sort(v1[few]))
@@ -60,11 +96,13 @@ def test_dense_selection_matches_strict(removal, seed):
 
 
 def test_dense_selection_degenerate_ties_escalate():
-    # residue-free extent: T == 0 everywhere, every distance tie is exact ->
-    # the tie flag must fire and the escalated answers must still agree
+    # residue-free extent: T == 0 everywhere, every distance tie is exact.
+    # Boundary ties (4th key == 5th key) must fire the flag and the
+    # escalated answers must still agree; ties fully inside the top four
+    # stay on the dense path (set-identical, solve-equivalent)
     grid, rc, _, _ = _masked(48, 64, 0.3, seed=1, extent=DEGENERATE)
     esc = _assert_selection_equal(grid, rc)
-    assert esc.mean() > 0.5  # the flag actually fires
+    assert 0.05 < esc.mean() < 0.5  # fires, but only at the boundary
 
 
 def test_dense_selection_sparse_never_stops():
