@@ -196,9 +196,13 @@ def _lerp_window(win, winm, ly0c, lx0c, wy, wx, ok, mode: str = "onehot"):
     return z.reshape(-1), ok.reshape(-1)
 
 
-# default one-hot build for the resample column stage; flipped only on a
-# chip-measured win (scripts/resample_hilo_probe.py)
-LERP_MODE_DEFAULT = "onehot"
+# default lerp-weight build for the resample stages; 'hat' is bit-identical
+# to 'onehot' (see _lerp_hat's Sterbenz argument) and won every interleaved
+# round on chip: band 29.7 vs 30.7 ms, atlas 32.5 vs 33.0 at 5M queries
+# (results/resample_hilo_r5.txt).  The two-level hi/lo build ('hat2') LOST
+# (40.7/44.4 ms): its slab reshape + two 16-lane reduces cost more than the
+# flat-lane reduction saves — flipped here only on a chip-measured win.
+LERP_MODE_DEFAULT = "hat"
 
 
 def _resolve_resample_backend(backend: str, dtype) -> str:

@@ -2,8 +2,8 @@
 
 ``ops/exact.py`` reproduces the reference's observable selection
 (ring-segment cutoff + swap tie-breaks, GridH.cpp:49-140) with a scattered
-(N, 441)-lane kernel — correct, but ~20 us/pt of gather-bound device time
-(results/exact_scale_r4.txt).  This module reformulates the SAME selection
+(N, 441)-lane kernel — correct, but ~28-35 us/pt of gather-bound device
+time (results/exact_scale_r5.txt).  This module reformulates the SAME selection
 as a dense whole-plane streaming pass, the formulation every other
 cell-aligned path in this repo already uses (ops/dense.py): iterate the 441
 candidate offsets in exact reference *collection order* as whole-plane
