@@ -170,11 +170,47 @@ def _col_pick(rows, lx0c, wx, mode):
     return (slab_a * hat[..., :16]).sum(axis=2) + (slab_b * hat[..., 16:]).sum(axis=2)
 
 
+def _lerp_window_t(win, winm, ly0c, lx0c, wy, wx, ok):
+    """Transposed-layout bilinear-from-window: queries on LANES, window
+    rows/cols on sublanes.  Same arithmetic as the 'hat' build — the hat
+    weight vectors have exactly two nonzero entries, so every reduction is
+    a two-term sum plus exact zeros; the only divergence from the wide
+    layout is the FMA pairing the backend picks for the row contraction
+    (<= 1 f32 ulp, ~1e-7 relative; pinned by tests).  The per-query tensors
+    are (nch, w*, chunk) instead of (nch, chunk, w*), which frees the
+    window width from the 128-lane register: with auto-sized windows
+    (wr, wc down to 8) the per-query vector work shrinks proportionally,
+    where the wide layout pads wc to 128 lanes regardless (the measured
+    resample bound — NEXTSTEPS 4d, results/resample_hilo_r5.txt)."""
+    dt = win.dtype
+    wr, wc = win.shape[1], win.shape[2]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (1, wr, 1), 1)
+    dr = (riota - ly0c[:, None, :]).astype(dt) - wy[:, None, :]
+    mrow = jnp.maximum(1 - jnp.abs(dr), 0)  # (nch, wr, chunk)
+    # precision=HIGHEST is load-bearing here too (see _lerp_window)
+    rows_t = jnp.einsum("nrw,nrc->nwc", win, mrow,
+                        precision=jax.lax.Precision.HIGHEST)  # (nch, wc, chunk)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (1, wc, 1), 1)
+    dc = (ciota - lx0c[:, None, :]).astype(dt) - wx[:, None, :]
+    mcol = jnp.maximum(1 - jnp.abs(dc), 0)  # (nch, wc, chunk)
+    z = (rows_t * mcol).sum(axis=1)  # (nch, chunk)
+    if winm is not None:
+        rows_m = jnp.einsum("nrw,nrc->nwc", winm, mrow,
+                            precision=jax.lax.Precision.HIGHEST)
+        wsum = (rows_m * mcol).sum(axis=1)
+        ok = ok & (wsum > 1.0 - 1e-3)
+    z = jnp.where(ok, z, jnp.nan)
+    return z.reshape(-1), ok.reshape(-1)
+
+
 def _lerp_window(win, winm, ly0c, lx0c, wy, wx, ok, mode: str = "onehot"):
     """Shared bilinear-from-window block: row-lerp folded into the extraction
     matmul (nch, chunk, wr) @ (nch, wr, wc), column pick + x-lerp as one fused
-    weighted reduce (see _col_pick for the mode variants).  winm=None means
+    weighted reduce (see _col_pick for the mode variants; mode='hat_t' is the
+    transposed queries-on-lanes layout, _lerp_window_t).  winm=None means
     the band/atlas is fully defined."""
+    if mode == "hat_t":
+        return _lerp_window_t(win, winm, ly0c, lx0c, wy, wx, ok)
     dt = win.dtype
     wr = win.shape[1]
     riota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wr), 2)
@@ -760,7 +796,7 @@ class BandRouter:
                  chunk: int = 512, win_rows: int = 48, win_cols: int = 128,
                  margin: int = 10, fill_backend: str = "auto",
                  two_tier=None, cost_ns=None, max_bands: int = 1,
-                 auto_window: bool = False):
+                 auto_window: bool = False, lerp_mode: str = LERP_MODE_DEFAULT):
         from .two_tier import TwoTierInterpolator
 
         self.grid = grid
@@ -769,6 +805,7 @@ class BandRouter:
         self.win_rows = int(win_rows)
         self.win_cols = int(win_cols)
         self.margin = int(margin)
+        self.lerp_mode = lerp_mode
         # auto_window shrinks the resample window to the measured max chunk
         # span at prepare() time (win_rows/win_cols become upper bounds).
         # MEASURED NO-OP on serving rate (band_probe_r4: 29.0 ms at auto
@@ -876,9 +913,14 @@ class BandRouter:
         if self.auto_window:
             # window must hold the chunk's [floor(min), floor(max)+1] support:
             # boxes already carry the +1 cell, so the requirement is
-            # (b[3]-b[2])+1 rows; +1 slack absorbs refresh-time drift
+            # (b[3]-b[2])+1 rows; +1 slack absorbs refresh-time drift.
+            # In the wide layout wc below 128 only wastes register lanes, so
+            # it stays 128-quantized; the transposed layout ('hat_t') puts
+            # window columns on SUBLANES, so wc shrinks to the 8-sublane
+            # quantum and per-query work drops proportionally.
             wr = min(wr, max(8, _ceil_to(int((boxes[:, 3] - boxes[:, 2]).max()) + 2, 8)))
-            wc = min(wc, max(_LANES, _ceil_to(int((boxes[:, 1] - boxes[:, 0]).max()) + 2, _LANES)))
+            wcq = 8 if self.lerp_mode == "hat_t" else _LANES
+            wc = min(wc, max(wcq, _ceil_to(int((boxes[:, 1] - boxes[:, 0]).max()) + 2, wcq)))
         if segs is not None and len(segs) > 1:
             self._atlas = build_atlas(
                 self.grid, segs, margin=self.margin,
@@ -888,7 +930,7 @@ class BandRouter:
             self._band = None
             self._resampler = AtlasResampler(
                 self.grid, self._atlas, chunk=self.chunk,
-                win_rows=wr, win_cols=wc,
+                win_rows=wr, win_cols=wc, lerp_mode=self.lerp_mode,
             )
             return self._atlas
         r0, nr, c0, nc = self.band_bbox(lons, lats, boxes=boxes)
@@ -896,7 +938,7 @@ class BandRouter:
         self._atlas = None
         self._resampler = BandResampler(
             self.grid, self._band, chunk=self.chunk,
-            win_rows=wr, win_cols=wc,
+            win_rows=wr, win_cols=wc, lerp_mode=self.lerp_mode,
         )
         return self._band
 

@@ -99,18 +99,63 @@ def test_band_resample_lerp_modes():
                   masked=True, row0=band.row0, col0=band.col0)
     for b in (band, masked):
         outs = {}
-        for mode in ("onehot", "hat", "hat2"):
+        for mode in ("onehot", "hat", "hat2", "hat_t"):
             rs = BandResampler(grid, b, chunk=64, win_rows=32, win_cols=128,
                                lerp_mode=mode)
             z, ok = rs.resample(lon, lat)
             outs[mode] = (np.asarray(z), np.asarray(ok))
         z0, ok0 = outs["onehot"]
         assert ok0.mean() > 0.5
-        for mode in ("hat", "hat2"):
+        for mode in ("hat", "hat2", "hat_t"):
             zm, okm = outs[mode]
             np.testing.assert_array_equal(okm, ok0)
-            d = np.abs(zm[ok0] - z0[ok0]).max()
-            assert d == 0.0 if mode == "hat" else d < 1e-4, (mode, d)
+            if mode == "hat":
+                # bit-identical weights, same layout -> bit-identical output
+                assert np.abs(zm[ok0] - z0[ok0]).max() == 0.0
+            else:
+                # hat2 regroups the column summation; hat_t's transposed row
+                # contraction may pick a different FMA pairing: <= 1 f32 ulp
+                np.testing.assert_allclose(zm[ok0], z0[ok0], rtol=1e-6,
+                                           atol=1e-4)
+
+
+def test_lerp_hat_t_narrow_window():
+    # the transposed layout's whole point: wc below the 128-lane register
+    # (down to the 8-sublane quantum); values match to one f32 rounding
+    elev = shelf_seamount(64, 96)
+    grid = RegularGrid.dense(elev, EXT)
+    band = fill_band(grid, 8, 32, 0, 96, method="idw")
+    lon, lat = _trajectory(grid, 256, row_frac=0.35, row_width_frac=0.03)
+    ref = BandResampler(grid, band, chunk=32, win_rows=16, win_cols=96)
+    alt = BandResampler(grid, band, chunk=32, win_rows=16, win_cols=8,
+                        lerp_mode="hat_t")
+    z0, ok0 = (np.asarray(a) for a in ref.resample(lon, lat))
+    z1, ok1 = (np.asarray(a) for a in alt.resample(lon, lat))
+    # the tiny window resolves a subset (chunks spanning > 8 cols drop out)
+    assert ok1.mean() > 0.3
+    assert (ok0 | ~ok1).all()  # everything the wide window resolves, plus ok1 subset
+    both = ok0 & ok1
+    np.testing.assert_allclose(z1[both], z0[both], rtol=1e-6, atol=1e-4)
+
+
+def test_router_auto_window_transposed():
+    # BandRouter(auto_window, lerp_mode='hat_t') sizes wc to the 8-sublane
+    # quantum instead of the 128-lane register; values match to 1 f32 ulp
+    from auvtpu.ops.band import BandRouter
+
+    elev = shelf_seamount(96, 160)
+    grid = RegularGrid.dense(elev, EXT)
+    lon, lat = _trajectory(grid, 2048, row_frac=0.4, row_width_frac=0.02)
+    r0 = BandRouter(grid, chunk=64)
+    r0.prepare(lon, lat, method="idw")
+    rt = BandRouter(grid, chunk=64, auto_window=True, lerp_mode="hat_t")
+    rt.prepare(lon, lat, method="idw")
+    assert rt._resampler.wc < 128 and rt._resampler.wc % 8 == 0
+    z0, ok0 = (np.asarray(a) for a in r0._resampler.resample(lon, lat))
+    z1, ok1 = (np.asarray(a) for a in rt._resampler.resample(lon, lat))
+    assert ok1.mean() > 0.95
+    both = ok0 & ok1
+    np.testing.assert_allclose(z1[both], z0[both], rtol=1e-6, atol=1e-4)
 
 
 def test_lerp_hat2_narrow_window_falls_back():
