@@ -71,8 +71,8 @@ def main(argv=None):
                    help="CSV with lon,lat columns (ordered mission track)")
     p.add_argument("--synthetic", default="band", choices=["band", "diagonal"])
     p.add_argument("--pings", type=int, default=200_000)
-    p.add_argument("--chunk", type=int, default=512)
-    p.add_argument("--win-rows", type=int, default=48)
+    p.add_argument("--chunk", type=int, default=2048)
+    p.add_argument("--win-rows", type=int, default=112)
     p.add_argument("--win-cols", type=int, default=128)
     p.add_argument("--max-bands", type=int, default=8)
     p.add_argument("--fill-backend", default="auto",

@@ -751,7 +751,11 @@ COST_NS = {
     # packed (one dispatch) and serving/one-shot 5M batches route band.
     "dispatch": 7.3e6,
     "fill_per_cell": 1.0,
-    "resample_per_query": 5.7,  # chunked MXU resample, HIGHEST precision (r4)
+    # chunked windowed resample at the router defaults (c2048 hat_t auto
+    # windows): band 335.7 / atlas 342.3 M pts/s interleaved medians
+    # (results/resample_chunk_sweep_r5.txt) -> ~2.9 ns; rounded up for the
+    # escalation share at real resolved fractions (>= 0.998 on the probes)
+    "resample_per_query": 3.0,
 }
 
 
@@ -793,10 +797,10 @@ class BandRouter:
     """
 
     def __init__(self, grid: RegularGrid, *, convention: str = "reference",
-                 chunk: int = 512, win_rows: int = 48, win_cols: int = 128,
+                 chunk: int = 2048, win_rows: int = 112, win_cols: int = 128,
                  margin: int = 10, fill_backend: str = "auto",
                  two_tier=None, cost_ns=None, max_bands: int = 1,
-                 auto_window: bool = False, lerp_mode: str = LERP_MODE_DEFAULT):
+                 auto_window: bool = True, lerp_mode: str = "hat_t"):
         from .two_tier import TwoTierInterpolator
 
         self.grid = grid
@@ -807,13 +811,16 @@ class BandRouter:
         self.margin = int(margin)
         self.lerp_mode = lerp_mode
         # auto_window shrinks the resample window to the measured max chunk
-        # span at prepare() time (win_rows/win_cols become upper bounds).
-        # MEASURED NO-OP on serving rate (band_probe_r4: 29.0 ms at auto
-        # wr=24 vs 28.0 at wr=48 — the resample is bound by the per-query
-        # lane-width intermediates, not the window-row gather), so it is
-        # opt-in: it only trims the small mrow/window traffic while adding
-        # one compile key per distinct wr.  Never affects correctness —
-        # chunks that exceed the window escalate.
+        # span at prepare() time (win_rows/win_cols become upper bounds,
+        # i.e. the coherence threshold routing still uses).  With the wide
+        # 'hat' layout it was a measured no-op (band_probe_r4), but with the
+        # transposed 'hat_t' default the window width IS the per-query work,
+        # so auto sizing + large chunks carry the serving rate: 335.7 M
+        # pts/s band / 342.3 atlas at c2048 vs 175.8/153.1 for the r4 wide
+        # defaults (results/resample_chunk_sweep_r5.txt,
+        # resample_breakdown_r5.txt — the c512 bound was the per-chunk
+        # dynamic_slice extraction count, amortized by chunk size).  Never
+        # affects correctness — chunks that exceed the window escalate.
         self.auto_window = bool(auto_window)
         # max_bands > 1 enables trajectory segmentation (plan_segments): a
         # diagonal/L-shaped mission fills K thin pages instead of its bbox

@@ -146,7 +146,9 @@ def test_router_auto_window_transposed():
     elev = shelf_seamount(96, 160)
     grid = RegularGrid.dense(elev, EXT)
     lon, lat = _trajectory(grid, 2048, row_frac=0.4, row_width_frac=0.02)
-    r0 = BandRouter(grid, chunk=64)
+    # wide-layout control (the pre-r5 defaults); hat_t+auto IS the default now
+    r0 = BandRouter(grid, chunk=64, win_rows=48, win_cols=128,
+                    auto_window=False, lerp_mode="hat")
     r0.prepare(lon, lat, method="idw")
     rt = BandRouter(grid, chunk=64, auto_window=True, lerp_mode="hat_t")
     rt.prepare(lon, lat, method="idw")
@@ -400,15 +402,25 @@ def test_auto_window_shrinks_and_matches_fixed():
     y = H * 0.2 + 0.2 * x + 2.0 * np.sin(t * 40 * np.pi)
     lon = EXT.min_lon + x * grid.lon_step
     lat = EXT.min_lat + y * grid.lat_step
-    auto = BandRouter(grid, chunk=256, fill_backend="xla", auto_window=True)
-    auto.prepare(lon, lat)
-    fixed = BandRouter(grid, chunk=256, fill_backend="xla", auto_window=False)
-    fixed.prepare(lon, lat)
-    assert auto._resampler.wr < fixed._resampler.wr  # shrank below 48
-    za, oka = auto._resampler.resample(lon, lat)
-    zf, okf = fixed._resampler.resample(lon, lat)
-    assert np.asarray(oka).all() and np.asarray(okf).all()
-    np.testing.assert_array_equal(np.asarray(za), np.asarray(zf))
+    for mode in ("hat", "hat_t"):
+        auto = BandRouter(grid, chunk=256, fill_backend="xla",
+                          win_rows=48, auto_window=True, lerp_mode=mode)
+        auto.prepare(lon, lat)
+        fixed = BandRouter(grid, chunk=256, fill_backend="xla",
+                           win_rows=48, auto_window=False, lerp_mode=mode)
+        fixed.prepare(lon, lat)
+        assert auto._resampler.wr < fixed._resampler.wr  # shrank below 48
+        za, oka = auto._resampler.resample(lon, lat)
+        zf, okf = fixed._resampler.resample(lon, lat)
+        assert np.asarray(oka).all() and np.asarray(okf).all()
+        if mode == "hat":
+            # wide layout: window size never regroups the reductions
+            np.testing.assert_array_equal(np.asarray(za), np.asarray(zf))
+        else:
+            # transposed row contraction: wr is a contraction dim, so the
+            # backend may pick a different FMA pairing across sizes
+            np.testing.assert_allclose(np.asarray(za), np.asarray(zf),
+                                       rtol=1e-6, atol=1e-4)
 
 
 def test_streaming_mission_loop():
