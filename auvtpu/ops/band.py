@@ -56,6 +56,22 @@ from ..grid import RegularGrid
 _LANES = 128
 
 
+def _effective_chunk(n: int, chunk: int) -> int:
+    """Clamp the static chunk to the batch: a small batch otherwise pads into
+    one full default-size chunk and pays its per-query work (a 512-ping nav
+    tick at the c2048 serving default would do 4x the resample math —
+    measured +25% tick p50, results/mission_replay_r5b.txt).  Smaller chunks
+    have smaller bounding boxes, so resolution can only improve; power-of-two
+    buckets (>=256) bound the number of compile keys per resampler.
+    """
+    if n >= chunk:
+        return chunk
+    c = 256
+    while c < n:
+        c <<= 1
+    return min(c, chunk)
+
+
 def _ceil_to(v: int, m: int) -> int:
     return -(-int(v) // m) * m
 
@@ -379,7 +395,8 @@ class BandResampler:
         x, y = self.grid.lonlat_to_xy(lons, lats)
         x = x - self.band.col0
         y = y - self.band.row0
-        pad = (-n) % self.chunk
+        chunk = _effective_chunk(n, self.chunk)
+        pad = (-n) % chunk
         if pad:
             # pad with the LAST query so the tail chunk stays coherent
             x = jnp.concatenate([x, jnp.broadcast_to(x[-1], (pad,))])
@@ -391,12 +408,12 @@ class BandResampler:
 
             z, ok = pallas_band_resample(
                 self.band.plane, x, y,
-                chunk=self.chunk, wr=self.wr, wc=self.wc,
+                chunk=chunk, wr=self.wr, wc=self.wc,
             )
         else:
             z, ok = _band_resample(
                 self.band.plane, self.band.vmask, x, y,
-                chunk=self.chunk, wr=self.wr, wc=self.wc,
+                chunk=chunk, wr=self.wr, wc=self.wc,
                 masked=self.band.masked, lerp_mode=self.lerp_mode,
             )
         return z[:n], ok[:n]
@@ -710,7 +727,8 @@ class AtlasResampler:
         lats = jnp.asarray(lats, self.dtype)
         n = lons.shape[0]
         x, y = self.grid.lonlat_to_xy(lons, lats)
-        pad = (-n) % self.chunk
+        chunk = _effective_chunk(n, self.chunk)
+        pad = (-n) % chunk
         if pad:
             x = jnp.concatenate([x, jnp.broadcast_to(x[-1], (pad,))])
             y = jnp.concatenate([y, jnp.broadcast_to(y[-1], (pad,))])
@@ -719,13 +737,13 @@ class AtlasResampler:
 
             z, ok = pallas_atlas_resample(
                 self.atlas.planes, self.atlas.origins, x, y,
-                chunk=self.chunk, wr=self.wr, wc=self.wc,
+                chunk=chunk, wr=self.wr, wc=self.wc,
                 pick=self.atlas.planes.shape[0] > 1,
             )
         else:
             z, ok = _atlas_resample(
                 self.atlas.planes, self.atlas.vmasks, self.atlas.origins,
-                x, y, chunk=self.chunk, wr=self.wr, wc=self.wc,
+                x, y, chunk=chunk, wr=self.wr, wc=self.wc,
                 masked=self.atlas.masked,
                 pick=self.atlas.planes.shape[0] > 1,
                 lerp_mode=self.lerp_mode,

@@ -36,11 +36,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CHUNK = 512
+TICK = 512  # nav pings per tick (the SLO unit; decoupled from router chunk)
 N_TICKS = 256
 REFRESH_EVERY = 32
 WARMUP_TICKS = 4
-WR, WC = 48, 128
 INGEST_RATES = [0, 2_048, 8_192, 32_768, 131_072]  # obs per tick
 SWATH_HALF_ROWS = 24
 
@@ -86,7 +85,7 @@ def main():
     print(f"seeded mosaic with {len(rs)} prior observations", flush=True)
 
     # ---- mission trajectory (the 'band' survey: lon sweep + weave) ----
-    n = N_TICKS * CHUNK
+    n = N_TICKS * TICK
     t = np.linspace(0.0, 1.0, n)
     rng = np.random.default_rng(0)
     x = 1.0 + t * (W - 3)
@@ -110,7 +109,9 @@ def main():
 
     results = []
     for B in INGEST_RATES:
-        router = BandRouter(si.grid(), chunk=CHUNK, win_rows=WR, win_cols=WC)
+        # shipped defaults (r5: hat_t + auto windows + chunk=2048); a 512-ping
+        # tick pads into one 2048-chunk — the dispatch floor dominates anyway
+        router = BandRouter(si.grid())
         router.prepare(lon, lat)
         b = router._band
         print(f"--- ingest {B} obs/tick ---  band rows {b.row0}+{b.shape[0]}"
@@ -120,7 +121,7 @@ def main():
         checks = 0.0
         for tick in range(-WARMUP_TICKS, N_TICKS):
             i = max(tick, 0)
-            s, e = i * CHUNK, (i + 1) * CHUNK
+            s, e = i * TICK, (i + 1) * TICK
             # (a) multibeam swath around the vehicle
             if B:
                 vy = int(np.clip(y[s], SWATH_HALF_ROWS, H - 1 - SWATH_HALF_ROWS))

@@ -138,6 +138,31 @@ def test_lerp_hat_t_narrow_window():
     np.testing.assert_allclose(z1[both], z0[both], rtol=1e-6, atol=1e-4)
 
 
+def test_effective_chunk_small_batches():
+    # a batch smaller than the configured chunk serves through a clamped
+    # chunk (no padding to 2048) with values matching the full-chunk config
+    from auvtpu.ops.band import _effective_chunk
+
+    assert _effective_chunk(5_000_000, 2048) == 2048
+    assert _effective_chunk(2048, 2048) == 2048
+    assert _effective_chunk(512, 2048) == 512
+    assert _effective_chunk(513, 2048) == 1024
+    assert _effective_chunk(100, 2048) == 256
+    assert _effective_chunk(1, 256) == 256
+
+    elev = shelf_seamount(96, 160)
+    grid = RegularGrid.dense(elev, EXT)
+    lon, lat = _trajectory(grid, 4096, row_frac=0.4, row_width_frac=0.02)
+    r = BandRouter(grid, chunk=2048)
+    r.prepare(lon, lat, method="idw")
+    zf, okf = (np.asarray(a) for a in r._resampler.resample(lon, lat))
+    # a 512-ping tick: same queries, clamped chunk, matching values
+    zs, oks = (np.asarray(a) for a in r._resampler.resample(lon[:512], lat[:512]))
+    assert oks.mean() >= okf[:512].mean()  # smaller boxes resolve no worse
+    both = oks & okf[:512]
+    np.testing.assert_allclose(zs[both], zf[:512][both], rtol=1e-6, atol=1e-4)
+
+
 def test_router_auto_window_transposed():
     # BandRouter(auto_window, lerp_mode='hat_t') sizes wc to the 8-sublane
     # quantum instead of the 128-lane register; values match to 1 f32 ulp
