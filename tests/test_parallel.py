@@ -346,6 +346,10 @@ def test_mesh16_stress(tmp_path):
     script = tmp_path / "mesh16_child.py"
     script.write_text(_MESH16_CHILD)
     env = dict(os.environ)
+    # the child must import auvtpu even when the editable install is absent
+    # (fresh session containers lose it; test_multihost does the same)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
     env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
